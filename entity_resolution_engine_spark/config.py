@@ -1,0 +1,91 @@
+"""Pipeline configuration.
+
+Mirrors the reference's YAML config surface
+(/root/reference/entity_resolution_engine/config/thresholds.yml:1-8,
+llm_validation.yml:1-23, quality_gates.yml:1-4) as frozen dataclasses —
+the same tunables, re-expressed for the web-pages graft.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    """MinHash-LSH + exact-key blocking parameters.
+
+    num_hashes = bands * rows_per_band.  With 16 bands x 8 rows the LSH
+    S-curve crosses ~0.5 probability at Jaccard ~ (1/16)^(1/8) ~ 0.71 —
+    matched to the scorer's gray-zone low threshold so blocking recall
+    does not cap pairwise F1.
+    """
+
+    shingle_size: int = 3           # word n-gram shingles
+    num_hashes: int = 128           # MinHash signature length
+    lsh_bands: int = 16
+    lsh_rows: int = 8               # bands * rows == num_hashes
+    max_block_size: int = 64        # cap on LSH-block membership before salt/split
+    salt_buckets: int = 8           # salt fan-out for hot blocking keys
+    hot_key_threshold: int = 1000   # block sizes above this get salted handling
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_hashes:
+            raise ValueError("lsh_bands * lsh_rows must equal num_hashes")
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    """Pairwise-score weights and router thresholds.
+
+    Analog of the reference's weighted player score (0.6*name +
+    0.3*dob + 0.1*team, players_matcher.py:19-23) and its gray-zone
+    router thresholds (llm_validation.yml:8-23): score < low → rejected,
+    score ≥ high with no conflict flags → approved, else gray zone.
+    """
+
+    w_jaro_winkler: float = 0.35
+    w_token_jaccard: float = 0.35
+    w_levenshtein: float = 0.20
+    w_length_ratio: float = 0.10
+    logistic_scale: float = 8.0     # steepness of the logistic squash
+    logistic_midpoint: float = 0.55
+    threshold_low: float = 0.45     # below → auto-reject
+    threshold_high: float = 0.62    # at/above (no conflicts) → auto-approve
+    fallback_mode: str = "auto_approve"  # gray-zone fallback when LLM disabled
+    llm_enabled: bool = False
+    max_llm_calls_per_run: int = 200
+
+
+@dataclass(frozen=True)
+class QualityGateConfig:
+    """PASS/FAIL gate bounds (reference quality_gates.yml:1-4)."""
+
+    max_review_rate: float = 0.15
+    max_gray_zone_rate: float = 0.35
+    max_error_rate: float = 0.05
+    fail_on_high_severity_anomalies: bool = True
+
+
+@dataclass(frozen=True)
+class AnomalyConfig:
+    """Z-score anomaly detection over run history
+    (reference monitoring/anomaly_detector.py:19-130)."""
+
+    lookback_runs: int = 8
+    z_medium: float = 2.0
+    z_high: float = 3.0
+    min_baseline_runs: int = 2
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    gates: QualityGateConfig = field(default_factory=QualityGateConfig)
+    anomaly: AnomalyConfig = field(default_factory=AnomalyConfig)
+    cc_max_iterations: int = 50          # connected-components safety bound
+    cc_checkpoint_every: int = 3         # truncate lineage every k iterations
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,282 @@
+"""Pairwise similarity features, Arrow-batched.
+
+The reference scores candidates with rapidfuzz string ratios inside a
+Python nested loop (/root/reference/entity_resolution_engine/matchers/
+players_matcher.py:19-23,65-69; normalizers/name_normalizer.py:29-38).
+Here the same feature family — Jaro-Winkler, Levenshtein similarity,
+token-Jaccard, length ratio — is computed over Arrow batches:
+
+- token-level Levenshtein runs as a **batch-vectorized numpy DP**
+  (one O(max_len) Python loop per Arrow batch, each step a vectorized
+  op over the whole batch — no per-row DP),
+- Jaro-Winkler runs on a bounded prefix (text fingerprints, not whole
+  documents) so per-pair cost is O(prefix²) worst case and tiny in
+  practice,
+- token-Jaccard has both a Python-set form (inside the feature UDF)
+  and a pure-JVM form (``array_intersect``/``array_union``) used by
+  the dedup operators where DuckDB-oracle parity matters.
+
+Pure-Python reference implementations live here too and are the test
+oracle — the same single-source-of-truth pattern as functions/normalize.py.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Cap on characters fed to Jaro-Winkler and on tokens fed to the
+# Levenshtein DP: similarity is computed on document fingerprints, not
+# unbounded bodies, so cost per pair is bounded at 100 TB scale.
+JW_PREFIX_CHARS = 80
+LEV_MAX_TOKENS = 64
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python oracles
+# ---------------------------------------------------------------------------
+
+def jaro(a: str, b: str) -> float:
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = True
+                match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                transpositions += 1
+            k += 1
+    t = transpositions / 2.0
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    j = jaro(a, b)
+    if j == 0.0:
+        return 0.0
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+def levenshtein(a_tokens: list[str], b_tokens: list[str]) -> int:
+    la, lb = len(a_tokens), len(b_tokens)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a_tokens[i - 1] == b_tokens[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
+
+
+def levenshtein_similarity(a_tokens: list[str], b_tokens: list[str]) -> float:
+    if not a_tokens or not b_tokens:
+        return 0.0
+    d = levenshtein(a_tokens[:LEV_MAX_TOKENS], b_tokens[:LEV_MAX_TOKENS])
+    denom = max(min(len(a_tokens), LEV_MAX_TOKENS), min(len(b_tokens), LEV_MAX_TOKENS))
+    return 1.0 - d / denom
+
+
+def token_jaccard(a_tokens: list[str], b_tokens: list[str]) -> float:
+    sa, sb = set(a_tokens), set(b_tokens)
+    if not sa or not sb:
+        return 0.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def length_ratio(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    return min(la, lb) / max(la, lb)
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    """Reference parity helper (name_normalizer.py:29-32 semantics):
+    sort whitespace tokens, then normalized indel similarity
+    2·LCS/(|a|+|b|) over the joined strings."""
+    if not a or not b:
+        return 0.0
+    sa = " ".join(sorted(a.split()))
+    sb = " ".join(sorted(b.split()))
+    la, lb = len(sa), len(sb)
+    if la + lb == 0:
+        return 0.0
+    # indel distance = la + lb - 2*LCS, via DP on characters
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = sa[i - 1]
+        for j in range(1, lb + 1):
+            if ca == sb[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    lcs = prev[lb]
+    return 2.0 * lcs / (la + lb)
+
+
+# ---------------------------------------------------------------------------
+# Batch-vectorized numpy Levenshtein (the executor hot path)
+# ---------------------------------------------------------------------------
+
+def _token_ids(tokens: list[str]) -> np.ndarray:
+    """Deterministic token→uint32 ids (crc32 — stable across executors,
+    unlike Python's salted hash)."""
+    ts = tokens[:LEV_MAX_TOKENS]
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in ts), dtype=np.uint32, count=len(ts)
+    )
+
+
+def batch_levenshtein_similarity(
+    a_token_lists: list[list[str]], b_token_lists: list[list[str]]
+) -> np.ndarray:
+    """Levenshtein similarity for a whole batch of token-sequence pairs.
+
+    DP rows are advanced for all pairs simultaneously; the sequential
+    insert-chain term is resolved with the prefix-min trick
+    (dp[i][j] = j + running-min of (tentative[k] − k)), so each of the
+    ≤ LEV_MAX_TOKENS iterations is pure vectorized numpy over the batch.
+    """
+    n = len(a_token_lists)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    ids_a = [_token_ids(t) for t in a_token_lists]
+    ids_b = [_token_ids(t) for t in b_token_lists]
+    la = np.array([len(x) for x in ids_a], dtype=np.int32)
+    lb = np.array([len(x) for x in ids_b], dtype=np.int32)
+    max_a = int(la.max()) if n else 0
+    max_b = int(lb.max()) if n else 0
+    result = np.zeros(n, dtype=np.int32)
+    if max_a == 0 or max_b == 0:
+        sim = np.zeros(n, dtype=np.float64)
+        return sim
+    # Distinct pad sentinels so padding never produces a match.
+    A = np.full((n, max_a), 0xFFFFFFFF, dtype=np.uint64)
+    B = np.full((n, max_b), 0xFFFFFFFE, dtype=np.uint64)
+    for i, x in enumerate(ids_a):
+        A[i, : len(x)] = x
+    for i, x in enumerate(ids_b):
+        B[i, : len(x)] = x
+
+    jidx = np.arange(max_b + 1, dtype=np.int32)
+    prev = np.broadcast_to(jidx, (n, max_b + 1)).copy()
+    done0 = la == 0
+    result[done0] = lb[done0]
+    for i in range(1, max_a + 1):
+        cost = (A[:, i - 1 : i] != B).astype(np.int32)
+        tent = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        u = np.concatenate(
+            [np.full((n, 1), i, dtype=np.int32), tent], axis=1
+        )
+        cur = np.minimum.accumulate(u - jidx, axis=1) + jidx
+        hit = la == i
+        if hit.any():
+            result[hit] = cur[hit, lb[hit]]
+        prev = cur
+    denom = np.maximum(np.maximum(la, lb), 1)
+    sim = 1.0 - result / denom
+    sim[(la == 0) | (lb == 0)] = 0.0
+    return sim
+
+
+# ---------------------------------------------------------------------------
+# The feature UDF: one Arrow batch in, four feature columns out
+# ---------------------------------------------------------------------------
+
+PAIR_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("jaro_winkler", T.DoubleType()),
+        T.StructField("token_jaccard", T.DoubleType()),
+        T.StructField("levenshtein_sim", T.DoubleType()),
+        T.StructField("length_ratio", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(PAIR_FEATURES_TYPE)
+def pair_features_udf(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
+    a_vals = norm_a.fillna("").tolist()
+    b_vals = norm_b.fillna("").tolist()
+    toks_a = [s.split() for s in a_vals]
+    toks_b = [s.split() for s in b_vals]
+
+    lev = batch_levenshtein_similarity(toks_a, toks_b)
+
+    jw = np.empty(len(a_vals), dtype=np.float64)
+    jac = np.empty(len(a_vals), dtype=np.float64)
+    lr = np.empty(len(a_vals), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(a_vals, b_vals)):
+        jw[i] = jaro_winkler(a[:JW_PREFIX_CHARS], b[:JW_PREFIX_CHARS])
+        sa, sb = set(toks_a[i]), set(toks_b[i])
+        if sa and sb:
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        else:
+            jac[i] = 0.0
+        lr[i] = length_ratio(a, b)
+    return pd.DataFrame(
+        {
+            "jaro_winkler": jw,
+            "token_jaccard": jac,
+            "levenshtein_sim": lev,
+            "length_ratio": lr,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-JVM variants (used where DuckDB-oracle parity matters)
+# ---------------------------------------------------------------------------
+
+def jvm_token_jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    """Jaccard over token arrays entirely in JVM expressions."""
+    inter = F.size(F.array_intersect(tokens_a, tokens_b))
+    union = F.size(F.array_union(tokens_a, tokens_b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def jvm_levenshtein_sim(a: Column, b: Column) -> Column:
+    """Normalized builtin character Levenshtein (JVM, codegen)."""
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(
+        denom > 0, 1.0 - F.levenshtein(a, b).cast("double") / denom
+    ).otherwise(F.lit(0.0))
