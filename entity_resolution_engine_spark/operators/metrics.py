@@ -1,0 +1,189 @@
+"""Observability: per-stage/per-partition run metrics, z-score anomaly
+detection over run history, and quality gates.
+
+Re-expresses the reference's observability tables and logic
+(/root/reference/entity_resolution_engine/db/ues_schema.sql:76-123;
+monitoring/anomaly_detector.py:19-130; qa/quality_gates.py:53-127) as
+DataFrame aggregations:
+
+- stage metrics include per-shuffle-partition row counts
+  (``spark_partition_id()``) — the north_rule's per-partition lineage/
+  metrics, and the skew diagnostic the blocking stage reads back.
+- anomaly detection = current run's rates vs mean/stddev_samp of the
+  trailing ≤ lookback runs (dense_rank over run history — SURVEY.md
+  §2.5 W2/W3), z ≥ 2 → MEDIUM, ≥ 3 → HIGH.
+- quality gates = rate bounds evaluated with one ``when`` per gate
+  (reference quality_gates.yml:1-4 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import AnomalyConfig, QualityGateConfig
+
+
+def stage_metrics(
+    df: DataFrame, run_id: str, stage: str, seq: int, per_partition: bool = True
+) -> DataFrame:
+    """Row counts (total + per shuffle partition) for one stage output."""
+    total = df.agg(F.count("*").alias("value")).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.lit("row_count").alias("metric"),
+        F.col("value").cast("double"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(seq).alias("finished_seq"),
+    )
+    if not per_partition:
+        return total
+    per_part = (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.lit("partition_row_count").alias("metric"),
+            "value",
+            "partition_id",
+            F.lit(seq).alias("finished_seq"),
+        )
+    )
+    return total.unionByName(per_part)
+
+
+def derive_run_rates(run_metrics: DataFrame) -> DataFrame:
+    """router counters → per-run rate metrics (gray_zone_rate,
+    approval_rate, rejection_rate) in wide form, one row per run."""
+    wide = (
+        run_metrics.filter(
+            (F.col("stage") == "router")
+            & F.col("metric").isin(
+                "total_pairs", "auto_approved", "auto_rejected", "gray_zone"
+            )
+        )
+        .groupBy("run_id")
+        .pivot(
+            "metric", ["total_pairs", "auto_approved", "auto_rejected", "gray_zone"]
+        )
+        .agg(F.first("value"))
+        .na.fill(0.0)
+    )
+    tot = F.greatest(F.col("total_pairs"), F.lit(1.0))
+    return wide.select(
+        "run_id",
+        (F.col("gray_zone") / tot).alias("gray_zone_rate"),
+        (F.col("auto_approved") / tot).alias("approval_rate"),
+        (F.col("auto_rejected") / tot).alias("rejection_rate"),
+        F.col("total_pairs"),
+    )
+
+
+def detect_anomalies(
+    run_rates: DataFrame,
+    run_order: DataFrame,
+    current_run_id: str,
+    cfg: AnomalyConfig,
+) -> DataFrame:
+    """Current run's rates vs the trailing-window baseline.
+
+    ``run_order``: (run_id, finished_seq) — monotone sequence the
+    pipeline maintains (the reference orders by finished_at,
+    anomaly_detector.py:44-57).  Returns ANOMALY_EVENTS rows (possibly
+    empty — needs ≥ cfg.min_baseline_runs history, reference parity).
+    """
+    ordered = run_rates.join(run_order, "run_id")
+    w = Window.orderBy(F.desc("finished_seq"))
+    recent = ordered.withColumn("rk", F.row_number().over(w)).filter(
+        (F.col("rk") <= cfg.lookback_runs + 1)
+    )
+    baseline = recent.filter(F.col("run_id") != current_run_id)
+    current = recent.filter(F.col("run_id") == current_run_id)
+
+    metrics = ["gray_zone_rate", "approval_rate", "rejection_rate"]
+    base_stats = baseline.agg(
+        F.count("*").alias("n_runs"),
+        *[F.avg(m).alias(f"{m}_mean") for m in metrics],
+        *[F.stddev_samp(m).alias(f"{m}_std") for m in metrics],
+    )
+    cur_long = current.selectExpr(
+        "run_id",
+        "stack(3, "
+        + ", ".join(f"'{m}', {m}" for m in metrics)
+        + ") as (metric, value)",
+    )
+    base_long = base_stats.selectExpr(
+        "n_runs",
+        "stack(3, "
+        + ", ".join(f"'{m}', {m}_mean, {m}_std" for m in metrics)
+        + ") as (metric, baseline_mean, baseline_stddev)",
+    )
+    z = (F.col("value") - F.col("baseline_mean")) / F.col("baseline_stddev")
+    return (
+        cur_long.join(base_long, "metric")
+        .filter(F.col("n_runs") >= cfg.min_baseline_runs)
+        .filter(F.col("baseline_stddev").isNotNull() & (F.col("baseline_stddev") > 0))
+        .withColumn("z_score", z)
+        .withColumn(
+            "severity",
+            F.when(F.abs(F.col("z_score")) >= cfg.z_high, F.lit("HIGH"))
+            .when(F.abs(F.col("z_score")) >= cfg.z_medium, F.lit("MEDIUM"))
+            .otherwise(F.lit("NONE")),
+        )
+        .filter(F.col("severity") != "NONE")
+        .select(
+            "run_id",
+            "metric",
+            "value",
+            "baseline_mean",
+            "baseline_stddev",
+            "z_score",
+            "severity",
+        )
+    )
+
+
+def evaluate_quality_gates(
+    run_rates_row: DataFrame,
+    anomalies: DataFrame,
+    run_id: str,
+    cfg: QualityGateConfig,
+) -> DataFrame:
+    """One QUALITY_GATE_RESULTS row per gate for this run."""
+    high_count = anomalies.filter(
+        (F.col("run_id") == run_id) & (F.col("severity") == "HIGH")
+    ).count()
+    rates = run_rates_row.filter(F.col("run_id") == run_id)
+
+    gates = rates.select(
+        F.lit(run_id).alias("run_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("max_gray_zone_rate").alias("gate"),
+                    F.col("gray_zone_rate").alias("value"),
+                    F.lit(cfg.max_gray_zone_rate).alias("bound"),
+                    (F.col("gray_zone_rate") <= cfg.max_gray_zone_rate).alias(
+                        "passed"
+                    ),
+                ),
+                F.struct(
+                    F.lit("max_review_rate").alias("gate"),
+                    F.col("gray_zone_rate").alias("value"),
+                    F.lit(cfg.max_review_rate).alias("bound"),
+                    (F.col("gray_zone_rate") <= cfg.max_review_rate).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("no_high_severity_anomalies").alias("gate"),
+                    F.lit(float(high_count)).alias("value"),
+                    F.lit(0.0).alias("bound"),
+                    F.lit(
+                        (high_count == 0) or not cfg.fail_on_high_severity_anomalies
+                    ).alias("passed"),
+                ),
+            )
+        ).alias("g"),
+    ).select("run_id", "g.gate", "g.value", "g.bound", "g.passed")
+    return gates

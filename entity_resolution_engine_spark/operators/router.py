@@ -1,0 +1,164 @@
+"""Stage 4 — validation routing.
+
+Re-expresses the reference's three-way threshold partition
+(/root/reference/entity_resolution_engine/validation/router.py:162-168):
+score < low → rejected; score ≥ high AND no conflict flags → approved;
+else gray zone.  Gray-zone disposition follows the configured fallback
+(llm_validation.yml:7 semantics): ``auto_approve`` approves, ``review``
+emits PENDING review items.  The optional LLM stage is a pluggable
+bounded hook (the reference's call budget + circuit breaker,
+router.py:121-210, is inherently sequential driver-side state — see
+SURVEY.md §2.8 R4 — and is disabled by default exactly as in the
+reference).
+
+Everything is ONE ``when/otherwise`` decision column over the scored
+pairs — a single pass, no per-decision scans.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ScoringConfig
+
+
+def conflict_flags(scored: DataFrame) -> F.Column:
+    """Adapter-style conflict signals (reference validation/adapters.py:
+    48-77 builds country/season/dob mismatch flags; the web analog is a
+    language mismatch between the two pages)."""
+    return F.array_compact(
+        F.array(
+            F.when(
+                F.col("lang_a").isNotNull()
+                & F.col("lang_b").isNotNull()
+                & (F.col("lang_a") != F.col("lang_b")),
+                F.lit("lang_mismatch"),
+            )
+        )
+    )
+
+
+def route_pairs(scored: DataFrame, cfg: ScoringConfig, run_id: str) -> DataFrame:
+    """scored pairs → + decision, routed_status, conflicts columns."""
+    flagged = scored.withColumn("conflicts", conflict_flags(scored))
+    decision = (
+        F.when(F.col("score") < cfg.threshold_low, F.lit("rejected"))
+        .when(
+            (F.col("score") >= cfg.threshold_high) & (F.size("conflicts") == 0),
+            F.lit("approved"),
+        )
+        .otherwise(F.lit("gray"))
+    )
+    routed = flagged.withColumn("decision", decision)
+    if cfg.fallback_mode == "auto_approve":
+        status = F.when(F.col("decision") == "rejected", F.lit("rejected")).otherwise(
+            F.lit("approved")
+        )
+    else:  # review mode: gray pairs stay pending
+        status = (
+            F.when(F.col("decision") == "gray", F.lit("pending"))
+            .when(F.col("decision") == "approved", F.lit("approved"))
+            .otherwise(F.lit("rejected"))
+        )
+    return routed.withColumn("routed_status", status).withColumn(
+        "run_id", F.lit(run_id)
+    )
+
+
+def review_items(routed: DataFrame, run_id: str) -> DataFrame:
+    """Gray-zone pairs → review rows (reference router.py:56-78 shape);
+    signals serialized to JSON only at this sink boundary."""
+    return routed.filter(F.col("decision") == "gray").select(
+        F.lit(run_id).alias("run_id"),
+        "url_a",
+        "url_b",
+        F.col("score").alias("matcher_score"),
+        F.lit("PENDING").alias("status"),
+        F.to_json(
+            F.struct(
+                "jaro_winkler",
+                "token_jaccard",
+                "levenshtein_sim",
+                "length_ratio",
+                "conflicts",
+            )
+        ).alias("signals"),
+    )
+
+
+def router_metrics(routed: DataFrame, run_id: str, seq: int = 0) -> DataFrame:
+    """The reference's 13-counter router metrics block
+    (router.py:110-117,227-245) as one groupBy over the decision
+    column, unpivoted to the RUN_METRICS long shape."""
+    agg = routed.agg(
+        F.count("*").alias("total_pairs"),
+        F.sum(F.when(F.col("decision") == "approved", 1).otherwise(0)).alias(
+            "auto_approved"
+        ),
+        F.sum(F.when(F.col("decision") == "rejected", 1).otherwise(0)).alias(
+            "auto_rejected"
+        ),
+        F.sum(F.when(F.col("decision") == "gray", 1).otherwise(0)).alias("gray_zone"),
+        F.avg("score").alias("mean_score"),
+    )
+    long = agg.selectExpr(
+        "stack(5, 'total_pairs', double(total_pairs), "
+        "'auto_approved', double(auto_approved), "
+        "'auto_rejected', double(auto_rejected), "
+        "'gray_zone', double(gray_zone), "
+        "'mean_score', mean_score) as (metric, value)"
+    )
+    return long.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit("router").alias("stage"),
+        "metric",
+        "value",
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(seq).cast("long").alias("finished_seq"),
+    )
+
+
+def llm_validate_sample(
+    routed: DataFrame, cfg: ScoringConfig, validate_fn=None
+) -> list[dict]:
+    """Optional LLM validation hook for gray-zone pairs — preserved as a
+    bounded driver-side loop because the reference's circuit breaker is
+    order-dependent sequential state (router.py:121-160).  Disabled by
+    default (cfg.llm_enabled=False), mirroring llm_validation.yml:1.
+
+    ``validate_fn(pair_dict) -> dict`` is injected in tests; no network
+    code lives in the engine."""
+    if not cfg.llm_enabled or validate_fn is None:
+        return []
+    sample = (
+        routed.filter(F.col("decision") == "gray")
+        .orderBy(F.desc("score"))
+        .limit(cfg.max_llm_calls_per_run)
+        .collect()
+    )
+    window: list[bool] = []
+    out = []
+    for row in sample:
+        if len(window) >= 50:
+            window.pop(0)
+        fail_rate = (sum(1 for w in window if not w) / len(window)) if window else 0.0
+        if fail_rate >= 0.2:
+            break  # breaker open → remaining pairs take the fallback path
+        try:
+            verdict = validate_fn(row.asDict())
+            window.append(True)
+            out.append({"url_a": row.url_a, "url_b": row.url_b, **verdict})
+        except Exception as exc:  # error → REVIEW, matches reference llm_validator.py:34-66
+            window.append(False)
+            out.append(
+                {
+                    "url_a": row.url_a,
+                    "url_b": row.url_b,
+                    "status": "REVIEW",
+                    "error": json.dumps(str(exc)),
+                }
+            )
+    return out

@@ -1,0 +1,77 @@
+"""Stage 3 — pairwise scoring.
+
+Analog of the reference's weighted matcher score
+(/root/reference/entity_resolution_engine/matchers/players_matcher.py:19-23,65-69),
+re-expressed as: candidate pairs ⨝ normalized pages (twice, to fetch
+both sides' match keys) → ONE Arrow-batched feature UDF producing all
+four similarity features → logistic match score as a pure-JVM column
+expression.  No per-row Python anywhere: the UDF is numpy-vectorized
+over each Arrow batch (functions/similarity.py).
+
+Scale notes: the two enrichment joins shuffle on url — the same key
+the blocking stage already grouped by, so AQE coalesces well; the
+feature UDF sees only (norm_a, norm_b) — Catalyst prunes every other
+column off the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ScoringConfig
+from ..functions.similarity import pair_features_udf
+
+
+def logistic_score(raw: F.Column, cfg: ScoringConfig) -> F.Column:
+    """1 / (1 + e^(−scale·(raw − midpoint))) — the logistic squash the
+    north_star requires, as a codegen'd JVM expression."""
+    return 1.0 / (1.0 + F.exp(-cfg.logistic_scale * (raw - F.lit(cfg.logistic_midpoint))))
+
+
+def score_pairs(
+    candidates: DataFrame, normalized: DataFrame, cfg: ScoringConfig
+) -> DataFrame:
+    """(url_a, url_b, …) → schemas.SCORED_PAIRS (+ lang_a/lang_b
+    carried for the router's conflict flags)."""
+    side = normalized.select("url", "norm_text", "lang")
+    a = side.select(
+        F.col("url").alias("url_a"),
+        F.col("norm_text").alias("norm_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    b = side.select(
+        F.col("url").alias("url_b"),
+        F.col("norm_text").alias("norm_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    enriched = candidates.join(a, "url_a").join(b, "url_b")
+    feats = enriched.withColumn(
+        "f", pair_features_udf(F.col("norm_a"), F.col("norm_b"))
+    ).select(
+        "url_a",
+        "url_b",
+        "strategy",
+        "lang_a",
+        "lang_b",
+        F.col("f.jaro_winkler").alias("jaro_winkler"),
+        F.col("f.token_jaccard").alias("token_jaccard"),
+        F.col("f.levenshtein_sim").alias("levenshtein_sim"),
+        F.col("f.length_ratio").alias("length_ratio"),
+    )
+    raw = (
+        cfg.w_jaro_winkler * F.col("jaro_winkler")
+        + cfg.w_token_jaccard * F.col("token_jaccard")
+        + cfg.w_levenshtein * F.col("levenshtein_sim")
+        + cfg.w_length_ratio * F.col("length_ratio")
+    )
+    # exact-strategy pairs are byte-identical on norm_text by
+    # construction — short-circuit them to score 1.0 (no UDF cost
+    # dominates; the features still flow for observability)
+    scored = feats.withColumn(
+        "score",
+        F.when(F.col("strategy") == "exact", F.lit(1.0)).otherwise(
+            logistic_score(raw, cfg)
+        ),
+    )
+    return scored

@@ -1,0 +1,224 @@
+"""Pipeline orchestration: the ``run_mapping.main()`` analog
+(/root/reference/entity_resolution_engine/cli/run_mapping.py:37-188),
+rebuilt as a checkpointed stage sequence over the snapshot catalog.
+
+Stages (each committed as a catalog snapshot before the next starts —
+the cross-node boundaries listed in SURVEY.md §3.1):
+
+    normalize → block → score → route → cluster → merge → observe
+
+Resume: the run-state table records completed stages; a rerun with the
+same ``run_id`` skips committed stages and reads their snapshots (the
+north_rule's "resumable from checkpoint").  The connected-components
+stage additionally checkpoints its iteration state, so resume works
+mid-clustering.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..operators import metrics as M
+from ..operators.blocking import candidate_pairs
+from ..operators.cluster import connected_components
+from ..operators.merge import merge_entities, source_lineage
+from ..operators.normalize_stage import normalize_pages
+from ..operators.router import review_items, route_pairs, router_metrics
+from ..operators.scoring import score_pairs
+from ..sources.catalog import ParquetSnapshotCatalog, TableCatalog
+
+STAGES = ("normalize", "block", "score", "route", "cluster", "merge", "observe")
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    gate_passed: bool = True
+    timings: dict[str, float] = field(default_factory=dict)
+
+
+class RunState:
+    """Completed-stage ledger, one JSON file per run under the catalog
+    root (atomic replace, same guarantee as the table manifests)."""
+
+    def __init__(self, root: str, run_id: str):
+        self.path = os.path.join(root, f"_run_state_{run_id}.json")
+        self.run_id = run_id
+
+    def completed(self) -> set[str]:
+        if not os.path.exists(self.path):
+            return set()
+        with open(self.path) as f:
+            return set(json.load(f)["completed"])
+
+    def mark(self, stage: str) -> None:
+        done = self.completed() | {stage}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"run_id": self.run_id, "completed": sorted(done)}, f)
+        os.replace(tmp, self.path)
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_root: str,
+        config: PipelineConfig = DEFAULT_CONFIG,
+        catalog: TableCatalog | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config
+        self.catalog = catalog or ParquetSnapshotCatalog(spark, catalog_root)
+        self.root = catalog_root
+
+    # stage table names are run-scoped so concurrent runs don't collide
+    def _t(self, run_id: str, name: str) -> str:
+        return f"run_{run_id}_{name}"
+
+    def run(self, web_pages: DataFrame, run_id: str) -> PipelineResult:
+        cat = self.catalog
+        state = RunState(self.root, run_id)
+        done = state.completed()
+        res = PipelineResult(run_id=run_id)
+        seq = 0
+
+        def run_stage(name: str, fn) -> None:
+            nonlocal seq
+            if name in done:
+                res.stages_skipped.append(name)
+                return
+            t0 = time.monotonic()
+            fn()
+            res.timings[name] = time.monotonic() - t0
+            state.mark(name)
+            res.stages_run.append(name)
+            seq += 1
+
+        # -- normalize ------------------------------------------------------
+        def _normalize():
+            normalized = normalize_pages(web_pages)
+            cat.write(self._t(run_id, "normalized"), normalized)
+
+        run_stage("normalize", _normalize)
+        normalized = cat.read(self._t(run_id, "normalized"))
+
+        # -- block ------------------------------------------------------------
+        def _block():
+            pairs, split_stats = candidate_pairs(normalized, self.cfg.blocking)
+            cat.write(self._t(run_id, "candidates"), pairs)
+            cat.write(self._t(run_id, "block_splits"), split_stats)
+
+        run_stage("block", _block)
+        candidates = cat.read(self._t(run_id, "candidates"))
+
+        # -- score ------------------------------------------------------------
+        def _score():
+            scored = score_pairs(candidates, normalized, self.cfg.scoring)
+            cat.write(self._t(run_id, "scored"), scored)
+
+        run_stage("score", _score)
+        scored = cat.read(self._t(run_id, "scored"))
+
+        # -- route ------------------------------------------------------------
+        def _route():
+            routed = route_pairs(scored, self.cfg.scoring, run_id)
+            cat.write(self._t(run_id, "routed"), routed)
+            routed_r = cat.read(self._t(run_id, "routed"))
+            cat.write(self._t(run_id, "reviews"), review_items(routed_r, run_id))
+
+        run_stage("route", _route)
+        routed = cat.read(self._t(run_id, "routed"))
+
+        # -- cluster ----------------------------------------------------------
+        def _cluster():
+            edges = routed.filter(F.col("routed_status") == "approved").select(
+                F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+            )
+            assignments = connected_components(
+                edges,
+                all_nodes=normalized.select("url"),
+                max_iterations=self.cfg.cc_max_iterations,
+                checkpoint_every=self.cfg.cc_checkpoint_every,
+                catalog=cat,
+                checkpoint_table=self._t(run_id, "cc_state"),
+            )
+            cat.write(self._t(run_id, "clusters"), assignments)
+
+        run_stage("cluster", _cluster)
+        clusters = cat.read(self._t(run_id, "clusters"))
+
+        # -- merge ------------------------------------------------------------
+        def _merge():
+            entities = merge_entities(clusters, normalized, routed)
+            cat.write(self._t(run_id, "entities"), entities)
+            cat.write(self._t(run_id, "source_lineage"), source_lineage(clusters))
+
+        run_stage("merge", _merge)
+
+        # -- observe: metrics, anomalies, gates --------------------------------
+        def _observe():
+            # metrics derive from the COMMITTED snapshots (not in-flight
+            # DataFrames) so a resumed run reports complete metrics
+            stage_tables = [
+                ("normalize", "normalized"),
+                ("block", "candidates"),
+                ("score", "scored"),
+                ("cluster", "clusters"),
+                ("merge", "entities"),
+            ]
+            # finished_seq is a wall-clock-derived monotone sequence so
+            # anomaly detection can order run history (the reference
+            # orders by finished_at, anomaly_detector.py:44-57)
+            seq_base = int(time.time() * 1000)
+            all_metrics = None
+            for i, (stage, tbl) in enumerate(stage_tables):
+                m = M.stage_metrics(
+                    cat.read(self._t(run_id, tbl)), run_id, stage, seq_base + i
+                )
+                all_metrics = m if all_metrics is None else all_metrics.unionByName(m)
+            all_metrics = all_metrics.unionByName(
+                router_metrics(
+                    cat.read(self._t(run_id, "routed")), run_id, seq_base + 5
+                )
+            )
+            cat.write("run_metrics", all_metrics, mode="append")
+
+            history = cat.read("run_metrics")
+            rates = M.derive_run_rates(history)
+            run_order = (
+                history.groupBy("run_id")
+                .agg(F.min("finished_seq").alias("fs"))
+                .withColumn("finished_seq", F.row_number().over(Window.orderBy("fs")))
+                .select("run_id", "finished_seq")
+            )
+            anomalies = M.detect_anomalies(rates, run_order, run_id, self.cfg.anomaly)
+            cat.write("anomaly_events", anomalies, mode="append")
+            gates = M.evaluate_quality_gates(
+                rates, cat.read("anomaly_events"), run_id, self.cfg.gates
+            )
+            cat.write("quality_gate_results", gates, mode="append")
+
+        run_stage("observe", _observe)
+
+        if cat.exists("quality_gate_results"):
+            failed = (
+                cat.read("quality_gate_results")
+                .filter((F.col("run_id") == run_id) & (~F.col("passed")))
+                .count()
+            )
+            res.gate_passed = failed == 0
+        return res
+
+    # convenience accessors -------------------------------------------------
+    def table(self, run_id: str, name: str) -> DataFrame:
+        return self.catalog.read(self._t(run_id, name))

@@ -98,23 +98,23 @@ def generate_web_pages(
     mh = _h(F.col("cid"), F.col("midx"), s)  # per-member hash base
 
     # --- deterministic text mutators (member 0 keeps the base text) ---
-    # 1) replace ~4% of tokens with a fresh vocab draw
+    # 1) replace ~2% of tokens with a fresh vocab draw
     mutated = F.transform(
         F.col("base_tokens"),
         lambda t, i: F.when(
             (F.col("midx") > 0)
-            & (F.pmod(_h(F.col("cid"), F.col("midx"), i, s, F.lit("rep")), F.lit(25)) == 0),
+            & (F.pmod(_h(F.col("cid"), F.col("midx"), i, s, F.lit("rep")), F.lit(50)) == 0),
             F.element_at(
                 vocab,
                 (F.pmod(_h(F.col("cid"), F.col("midx"), i, s, F.lit("rv")), F.lit(vsize)) + 1).cast("int"),
             ),
         ).otherwise(t),
     )
-    # 2) drop ~5% of tokens
+    # 2) drop ~2.5% of tokens
     mutated = F.filter(
         mutated,
         lambda t, i: (F.col("midx") == 0)
-        | (F.pmod(_h(F.col("cid"), F.col("midx"), i, s, F.lit("drop")), F.lit(20)) != 0),
+        | (F.pmod(_h(F.col("cid"), F.col("midx"), i, s, F.lit("drop")), F.lit(40)) != 0),
     )
     # 3) upper-case ~3% of tokens (canonicalization must undo this)
     mutated = F.transform(
@@ -125,9 +125,9 @@ def generate_web_pages(
             F.upper(t),
         ).otherwise(t),
     )
-    # 4) every 4th non-original member is truncated to ~90%
+    # 4) every 4th non-original member is truncated to ~95%
     trunc_len = F.greatest(
-        (F.size(mutated) * 9 / 10).cast("int"), F.lit(5)
+        (F.size(mutated) * 19 / 20).cast("int"), F.lit(5)
     )
     mutated = F.when(
         (F.col("midx") > 0) & (F.pmod(mh, F.lit(4)) == 0),
