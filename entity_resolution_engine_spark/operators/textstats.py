@@ -1,0 +1,139 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything except the winnowing fingerprint is pure-JVM column
+expressions (codegen, pushdown-friendly) with exact ANSI-SQL
+equivalents — these operators are in the DuckDB-oracle correctness
+gate, so each formula is written to be reproducible verbatim in SQL
+(__spark_entry__.py keeps the SQL side-by-side).
+
+Tokenization contract shared by all of them: lower(text) split on
+single spaces, empties dropped — matching the corpus shape and
+trivially expressible in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import winnow_fingerprint_udf
+
+# Deterministic per-language marker-token profiles (tiny stopword
+# lists).  The n-gram/stopword heuristic is standard public technique;
+# the lists are short on purpose — determinism and plumbing are what
+# the engine provides, swap in real profiles for production.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por", "con"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "men5"],
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: runs of alnum OR single
+    non-alnum-non-space chars (the GPT-2-style pre-split shape)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), 0)
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (length / punctuation / stopword
+    ratios — the public-lore web-text quality heuristics)."""
+    toks = tokens_expr(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), 0))
+    n_stop = F.size(F.array_intersect(toks, F.lit(ENGLISH_STOPWORDS)))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": F.when(
+            n_chars > 0, n_punct.cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tok > 0, n_stop.cast("double") / n_tok
+        ).otherwise(F.lit(0.0)),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + low punctuation +
+    plausible mean token length.  Fixed formula, SQL-reproducible."""
+    f = quality_features(text)
+    len_score = F.least(f["n_tokens"].cast("double") / 64.0, F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5.0)
+    tlen_score = F.when(
+        (f["mean_token_len"] >= 3.0) & (f["mean_token_len"] <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(
+        len_score * 0.4 + punct_score * 0.4 + tlen_score * 0.2, 6
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    toks = tokens_expr(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))  # noqa: B023
+        out[lang] = hits.cast("double") / n_tok
+    return out
+
+
+def predict_language(text: Column) -> Column:
+    """argmax over marker-hit rates; deterministic lexicographic
+    tie-break (ties → 'und' when no marker hits at all)."""
+    scores = language_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed lexicographic fold so the FIRST language alphabetically
+    # wins ties (when(...) chains evaluate in order)
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def document_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc with all text-analysis columns (the headline
+    text-ops operator)."""
+    text = F.col(text_col)
+    f = quality_features(text)
+    return documents.select(
+        "doc_id",
+        token_count(text).alias("n_ws_tokens"),
+        word_token_count(text).alias("n_bpe_tokens"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["mean_token_len"], 6).alias("mean_token_len"),
+        quality_score(text).alias("quality_score"),
+        predict_language(text).alias("pred_lang"),
+    )
+
+
+def document_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprints array<long>) — winnowing rolling-hash
+    fingerprints (functions/hashing.py), for copy-detection joins."""
+    return documents.select(
+        "doc_id", winnow_fingerprint_udf(F.col(text_col)).alias("fingerprints")
+    )
