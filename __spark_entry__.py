@@ -1,38 +1,652 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship ER resolve over sf0.001 documents.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-pipeline suite); ``oracle_sql()`` carries
+the DuckDB-equivalent ANSI SQL for every SQL-expressible one.  Column
+names are aliased identically on both sides; doubles produced by
+arithmetic are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from entity_resolution_engine_spark.operators import ann as ANN
+from entity_resolution_engine_spark.operators import dedup as DD
+from entity_resolution_engine_spark.operators import textstats as TS
+from entity_resolution_engine_spark.plans.flagship import resolve_documents
+from entity_resolution_engine_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_STOP = TS.ENGLISH_STOPWORDS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _planted_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ clone (doc_id + 1_000_000) — the testdata corpus has
+    no exact-duplicate texts, so the exact-dedup queries plant one
+    deterministic duplicate per doc to be non-trivial."""
+    docs = _t(spark, sf_dir, "documents")
+    clone = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    return docs.unionByName(clone)
+
+
+_PLANTED_DUP_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end ER resolve (normalize → block → score →
+    route → connected components) on sf0.001 documents."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return resolve_documents(spark, docs)
+
+
+# ---------------------------------------------------------------------------
+# queries — SURVEY.md §2 operator inventory
+# ---------------------------------------------------------------------------
+
+def q_threshold_filter(spark, sf):
+    # P1-P4: threshold predicate + projection, pushed to the scan
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") >= 300000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_argmax_best_match(spark, sf):
+    # W1/J1: per-left-row argmax with deterministic first-wins tie-break
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    # J4/J13/A1: equi-join chain with an explicitly broadcast dim
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_region_rollup(spark, sf):
+    # A3: grouped + grand-total rollup (reference api/main.py:284-316)
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "c_mktsegment").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q_survivorship_coalesce(spark, sf):
+    # J6/J7: field-by-field survivorship via coalesce over a full outer
+    # join of two partially-overlapping sources (teams_merge.py:31-36)
+    cust = _t(spark, sf, "customer")
+    alpha = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", F.col("c_name").alias("alpha_name")
+    )
+    beta = cust.filter(F.col("c_custkey") % 2 != 0).select(
+        "c_custkey", F.upper(F.col("c_name")).alias("beta_name")
+    )
+    return alpha.join(beta, "c_custkey", "full_outer").select(
+        "c_custkey",
+        F.coalesce("alpha_name", "beta_name").alias("canonical_name"),
+        F.when(
+            F.col("alpha_name").isNotNull() & F.col("beta_name").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("alpha_name").isNotNull(), F.lit("alpha"))
+        .otherwise(F.lit("beta"))
+        .alias("provenance"),
+    )
+
+
+def q_ues_id_generation(spark, sf):
+    # F10: deterministic md5-prefixed entity ids (ues_writer/writer.py:13-16)
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust-"),
+            F.substring(
+                F.md5(F.concat(F.lit("cust-"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+        ).alias("ues_id"),
+    )
+
+
+def q_lineage_explode(spark, sf):
+    # S8/F11: lineage struct array built per entity then exploded to one
+    # row per (source_system, source_id) (ues_writer/writer.py:39-43)
+    orders = _t(spark, sf, "orders")
+    lineage = F.array(
+        F.struct(
+            F.lit("ALPHA").alias("source_system"),
+            F.col("o_orderkey").alias("source_id"),
+        ),
+        F.struct(
+            F.lit("BETA").alias("source_system"),
+            F.col("o_custkey").alias("source_id"),
+        ),
+    )
+    return orders.select(
+        "o_orderkey", F.explode(lineage).alias("s")
+    ).select("o_orderkey", "s.source_system", "s.source_id")
+
+
+def q_route_three_way(spark, sf):
+    # R1: gray-zone threshold partition (validation/router.py:162-168)
+    score = (F.col("o_totalprice") % 100000.0) / 100000.0
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(score, 7).alias("score"),
+        F.when(score < 0.45, F.lit("rejected"))
+        .when(score >= 0.62, F.lit("approved"))
+        .otherwise(F.lit("gray"))
+        .alias("decision"),
+    )
+
+
+def q_router_metrics(spark, sf):
+    # A1: router counters per decision class (router.py:110-117)
+    routed = q_route_three_way(spark, sf)
+    return routed.groupBy("decision").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+    )
+
+
+def q_quality_gates(spark, sf):
+    # A2/O3: run-level rate aggregation + PASS/FAIL gate columns
+    routed = q_route_three_way(spark, sf)
+    agg = routed.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("decision") == "gray", 1).otherwise(0)).alias("gray"),
+        F.sum(F.when(F.col("decision") == "rejected", 1).otherwise(0)).alias(
+            "rejected"
+        ),
+    )
+    return agg.select(
+        "total",
+        "gray",
+        F.round(F.col("gray").cast("double") / F.col("total"), 6).alias("gray_rate"),
+        (F.col("gray").cast("double") / F.col("total") <= 0.35).alias("gate_passed"),
+    )
+
+
+def q_zscore_anomaly(spark, sf):
+    # A4/O1: trailing-window z-score anomaly detection
+    # (monitoring/anomaly_detector.py:10-16,60-96)
+    daily = (
+        _t(spark, sf, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-8, -1)
+    stats = daily.select(
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("mu"),
+        F.stddev_samp("revenue").over(w).alias("sigma"),
+    )
+    return stats.select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            F.when(
+                F.col("sigma") > 0, (F.col("revenue") - F.col("mu")) / F.col("sigma")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("zscore"),
+    )
+
+
+def q_topk_offset(spark, sf):
+    # W2: ORDER BY ... LIMIT n OFFSET m (api/main.py:143-150)
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .offset(10)
+        .limit(100)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+def q_union_dedup(spark, sf):
+    # §2.6: UNION DISTINCT across candidate strategies
+    orders = _t(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") >= 400000.0).select("o_orderkey")
+    return a.unionByName(b).distinct()
+
+
+def q_weighted_avg(spark, sf):
+    # A6: Σ(value·weight)/Σ(weight) recombination (api/main.py:297-299)
+    ev = _t(spark, sf, "events").withColumn(
+        "weight", (F.col("user_id") % 10 + 1).cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("weight")) / F.sum("weight"), 6
+        ).alias("weighted_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_windowed_event_counts(spark, sf):
+    # streaming-analog batch form: tumbling 1h event-time window
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+def q_json_extract(spark, sf):
+    # F13: JSON deserialization at the edge (api/main.py:101-109)
+    ev = _t(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("k").agg(F.count("*").alias("n"))
+
+
+# --- dedup suite (documents) -------------------------------------------------
+
+def q_exact_dup_groups(spark, sf):
+    return DD.exact_duplicate_groups(_planted_dup_documents(spark, sf))
+
+
+def q_exact_dedup_survivors(spark, sf):
+    return DD.exact_dedup(_planted_dup_documents(spark, sf)).select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_minhash_near_dup(spark, sf):
+    # MinHash+LSH near-dup (not SQL-expressible: engine-specific hashes)
+    docs = _planted_dup_documents(spark, sf)
+    return DD.minhash_near_duplicates(docs, min_jaccard=0.8).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash_near_dup(spark, sf):
+    docs = _planted_dup_documents(spark, sf)
+    return DD.simhash_near_duplicates(docs, max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_embedding_near_dup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return DD.embedding_near_duplicates(emb, dim=64, min_cosine=0.35, n_planes=8).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+# --- similarity search --------------------------------------------------------
+
+def q_ann_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ANN.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_ann_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ANN.ivf_topk(emb, queries, dim=64, k=5, nlist=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+# --- text analysis -------------------------------------------------------------
+
+def q_doc_profile(spark, sf):
+    return TS.document_profile(_t(spark, sf, "documents"))
+
+
+def q_doc_fingerprints(spark, sf):
+    # winnowing rolling-hash fingerprints (pandas UDF — rows-only check)
+    fp = TS.document_fingerprints(_t(spark, sf, "documents"))
+    return fp.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+def q_normalize_match_key(spark, sf):
+    # F1: the match-key normalizer (pandas UDF) — oracle checks the
+    # byte-level contract against pure SQL (corpus is ASCII)
+    from entity_resolution_engine_spark.functions.normalize import (
+        normalize_text_udf,
+    )
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", normalize_text_udf(F.col("text")).alias("norm_text")
+    )
+
+
+# --- flagship (rows-only) -------------------------------------------------------
+
+def q_er_resolve_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return resolve_documents(spark, docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "threshold_filter": q_threshold_filter,
+        "argmax_best_match": q_argmax_best_match,
+        "revenue_by_nation": q_revenue_by_nation,
+        "region_rollup": q_region_rollup,
+        "survivorship_coalesce": q_survivorship_coalesce,
+        "ues_id_generation": q_ues_id_generation,
+        "lineage_explode": q_lineage_explode,
+        "route_three_way": q_route_three_way,
+        "router_metrics": q_router_metrics,
+        "quality_gates": q_quality_gates,
+        "zscore_anomaly": q_zscore_anomaly,
+        "topk_offset": q_topk_offset,
+        "union_dedup": q_union_dedup,
+        "weighted_avg": q_weighted_avg,
+        "windowed_event_counts": q_windowed_event_counts,
+        "json_extract": q_json_extract,
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_survivors": q_exact_dedup_survivors,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
+        "doc_profile": q_doc_profile,
+        "doc_fingerprints": q_doc_fingerprints,
+        "normalize_match_key": q_normalize_match_key,
+        "er_resolve_documents": q_er_resolve_documents,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOP) + "]"
+
+
+def _lang_hits(markers: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(toks, x -> list_contains({lst}, x)))::DOUBLE / greatest(len(toks), 1)"
+
+
+_DOC_PROFILE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+    len(toks) AS n_ws_tokens,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    CASE WHEN length(text) > 0
+         THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text)
+         ELSE 0.0 END AS punct_ratio_raw,
+    CASE WHEN len(toks) > 0
+         THEN len(list_distinct(list_intersect(toks, {_STOP_SQL})))::DOUBLE / len(toks)
+         ELSE 0.0 END AS stopword_ratio_raw,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_token_len_raw,
+    {_lang_hits(TS.LANG_MARKERS['en'])} AS s_en,
+    {_lang_hits(TS.LANG_MARKERS['fr'])} AS s_fr,
+    {_lang_hits(TS.LANG_MARKERS['es'])} AS s_es,
+    {_lang_hits(TS.LANG_MARKERS['de'])} AS s_de,
+    {_lang_hits(TS.LANG_MARKERS['zh'])} AS s_zh
+  FROM base
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+  round(punct_ratio_raw, 6) AS punct_ratio,
+  round(stopword_ratio_raw, 6) AS stopword_ratio,
+  round(mean_token_len_raw, 6) AS mean_token_len,
+  round(
+    least(n_ws_tokens / 64.0, 1.0) * 0.4
+    + greatest(0.0, 1.0 - punct_ratio_raw * 5.0) * 0.4
+    + (CASE WHEN mean_token_len_raw >= 3.0 AND mean_token_len_raw <= 10.0
+            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality_score,
+  CASE WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) > 0 THEN
+    CASE WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+         WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+         WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+         ELSE 'zh' END
+  ELSE 'und' END AS pred_lang
+FROM feat
+"""
+
+_NGRAM_BANDS_SQL = ", ".join(
+    f"'{b}|' || list_aggregate(list_transform(grams, g -> md5('s{b}|' || g)), 'min')"
+    for b in range(8)
+)
+
+_NGRAM_JACCARD_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT id,
+    list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 1) + 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM docs
+), e AS (
+  SELECT id, unnest([{_NGRAM_BANDS_SQL}]) AS bucket FROM g
+), pair_ids AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM e a JOIN e b USING (bucket)
+  WHERE a.id < b.id
+), sim AS (
+  SELECT id_a, id_b,
+    len(list_intersect(ga.grams, gb.grams))::DOUBLE
+      / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS j
+  FROM pair_ids
+  JOIN g ga ON ga.id = id_a
+  JOIN g gb ON gb.id = id_b
+  WHERE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) > 0
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM sim WHERE j >= 0.4
+"""
+
+_NORM_SQL = """
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(lower(trim(text)), '[^0-9A-Za-z_\\s]', ' ', 'g'),
+    '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+_ROUTE_SQL = """
+SELECT o_orderkey,
+  round((o_totalprice % 100000.0) / 100000.0, 7) AS score,
+  CASE WHEN (o_totalprice % 100000.0) / 100000.0 < 0.45 THEN 'rejected'
+       WHEN (o_totalprice % 100000.0) / 100000.0 >= 0.62 THEN 'approved'
+       ELSE 'gray' END AS decision
+FROM orders
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "threshold_filter": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_totalprice >= 300000.0"
+        ),
+        "argmax_best_match": (
+            "SELECT o_custkey, o_orderkey AS best_orderkey, "
+            "o_totalprice AS best_price FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+            "    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC"
+            "  ) AS rn FROM orders) WHERE rn = 1"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, round(sum(o_totalprice), 2) AS revenue, "
+            "count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "region_rollup": (
+            "SELECT r_name, c_mktsegment, count(*) AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY ROLLUP (r_name, c_mktsegment)"
+        ),
+        "survivorship_coalesce": (
+            "WITH alpha AS (SELECT c_custkey, c_name AS alpha_name FROM customer "
+            "  WHERE c_custkey % 3 != 0), "
+            "beta AS (SELECT c_custkey, upper(c_name) AS beta_name FROM customer "
+            "  WHERE c_custkey % 2 != 0) "
+            "SELECT coalesce(alpha.c_custkey, beta.c_custkey) AS c_custkey, "
+            "coalesce(alpha_name, beta_name) AS canonical_name, "
+            "CASE WHEN alpha_name IS NOT NULL AND beta_name IS NOT NULL THEN 'both' "
+            "WHEN alpha_name IS NOT NULL THEN 'alpha' ELSE 'beta' END AS provenance "
+            "FROM alpha FULL OUTER JOIN beta USING (c_custkey)"
+        ),
+        "ues_id_generation": (
+            "SELECT c_custkey, 'cust-' || substr(md5('cust-' || c_custkey), 1, 8) "
+            "AS ues_id FROM customer"
+        ),
+        "lineage_explode": (
+            "SELECT o_orderkey, 'ALPHA' AS source_system, o_orderkey AS source_id "
+            "FROM orders UNION ALL "
+            "SELECT o_orderkey, 'BETA' AS source_system, o_custkey AS source_id "
+            "FROM orders"
+        ),
+        "route_three_way": _ROUTE_SQL,
+        "router_metrics": (
+            f"SELECT decision, count(*) AS n_pairs, "
+            f"round(avg(score), 6) AS mean_score FROM ({_ROUTE_SQL}) GROUP BY decision"
+        ),
+        "quality_gates": (
+            f"WITH r AS ({_ROUTE_SQL}), agg AS ("
+            "SELECT count(*) AS total, "
+            "sum(CASE WHEN decision = 'gray' THEN 1 ELSE 0 END) AS gray, "
+            "sum(CASE WHEN decision = 'rejected' THEN 1 ELSE 0 END) AS rejected "
+            "FROM r) "
+            "SELECT total, gray, round(gray::DOUBLE / total, 6) AS gray_rate, "
+            "gray::DOUBLE / total <= 0.35 AS gate_passed FROM agg"
+        ),
+        "zscore_anomaly": (
+            "WITH daily AS (SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day, "
+            "sum(o_totalprice) AS revenue FROM orders GROUP BY 1), "
+            "stats AS (SELECT day, revenue, "
+            "avg(revenue) OVER w AS mu, stddev_samp(revenue) OVER w AS sigma "
+            "FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)) "
+            "SELECT day, round(revenue, 2) AS revenue, "
+            "round(CASE WHEN sigma > 0 THEN (revenue - mu) / sigma ELSE 0.0 END, 4) "
+            "AS zscore FROM stats"
+        ),
+        "topk_offset": (
+            "SELECT event_id, ts, event_type FROM events "
+            "ORDER BY ts DESC, event_id DESC LIMIT 100 OFFSET 10"
+        ),
+        "union_dedup": (
+            "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "UNION SELECT o_orderkey FROM orders WHERE o_totalprice >= 400000.0"
+        ),
+        "weighted_avg": (
+            "SELECT event_type, "
+            "round(sum(value * ((user_id % 10 + 1)::DOUBLE)) "
+            "/ sum((user_id % 10 + 1)::DOUBLE), 6) AS weighted_value, "
+            "count(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "windowed_event_counts": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n_events, round(sum(value), 3) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "json_extract": (
+            "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, "
+            "count(*) AS n FROM events GROUP BY 1"
+        ),
+        "exact_dup_groups": (
+            f"WITH docs AS ({_PLANTED_DUP_SQL}) "
+            "SELECT md5(text) AS text_md5, count(*) AS n_copies, "
+            "min(doc_id) AS keep_id FROM docs GROUP BY md5(text) "
+            "HAVING count(*) > 1"
+        ),
+        "exact_dedup_survivors": (
+            f"WITH docs AS ({_PLANTED_DUP_SQL}) "
+            "SELECT doc_id, n_chars FROM docs "
+            "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"
+        ),
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "doc_profile": _DOC_PROFILE_SQL,
+        "normalize_match_key": _NORM_SQL,
+        "ann_bruteforce": (
+            "SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM ("
+            "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine, "
+            "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "      list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, "
+            "      c.vec_id ASC) AS rank "
+            "  FROM embeddings c CROSS JOIN "
+            "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q "
+            "  WHERE c.vec_id != q.vec_id"
+            ") WHERE rank <= 5"
+        ),
+        # minhash_near_dup / simhash_near_dup / embedding_near_dup /
+        # ann_ivf / doc_fingerprints / er_resolve_documents: engine-side
+        # hash/UDF/iterative ops — rows-only check by design.
+    }

@@ -1,0 +1,118 @@
+"""Headline benchmark — the driver runs this per round.
+
+Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "pairs_scored_per_sec": ...}
+
+The flagship entry is the full ER resolve (normalize → MinHash-LSH
+blocking → Arrow-batched scoring → routing → large-star/small-star CC)
+over a deterministic synthetic web_pages corpus sized to the SF, which
+also yields the BASELINE.json throughput metric
+(candidate-pairs-scored/sec).  Scaling evidence (N vs 4N cores) comes
+from scripts/bench_scaling.py and is recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# synthetic web_pages rows for the ER throughput section (~4x the sf0.1
+# documents table; clusters of 1-5 with planted mutators)
+SYNTH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "20000"))
+
+
+def _materialize(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    from entity_resolution_engine_spark.config import DEFAULT_CONFIG
+    from entity_resolution_engine_spark.operators.blocking import candidate_pairs
+    from entity_resolution_engine_spark.operators.cluster import connected_components
+    from entity_resolution_engine_spark.operators.normalize_stage import (
+        normalize_pages,
+    )
+    from entity_resolution_engine_spark.operators.router import route_pairs
+    from entity_resolution_engine_spark.operators.scoring import score_pairs
+    from entity_resolution_engine_spark.session import get_spark
+    from entity_resolution_engine_spark.sources.synth import generate_web_pages
+
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="er_bench", master=f"local[{CPUS}]")
+    timings: dict[str, float] = {}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # -- headline driver-contract queries over the SF tables ---------------
+    qs = E.queries()
+    headline = [
+        "revenue_by_nation",
+        "argmax_best_match",
+        "zscore_anomaly",
+        "windowed_event_counts",
+        "doc_profile",
+        "minhash_near_dup",
+        "ngram_jaccard",
+        "ann_bruteforce",
+        "er_resolve_documents",
+    ]
+    for name in headline:
+        t0 = time.monotonic()
+        _materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+        # drop persisted intermediates so queries are timed in
+        # isolation (no cross-query cache reuse or memory pressure)
+        spark.catalog.clearCache()
+
+    # -- ER pipeline throughput on the synthetic web corpus ----------------
+    t0 = time.monotonic()
+    pages, _ = generate_web_pages(spark, SYNTH_ROWS)
+    normalized = normalize_pages(pages).persist()
+    n_pages = normalized.count()
+    pairs, _stats = candidate_pairs(normalized, DEFAULT_CONFIG.blocking)
+    scored = score_pairs(pairs, normalized, DEFAULT_CONFIG.scoring).persist()
+    n_pairs = scored.count()
+    t_scored = time.monotonic() - t0
+    routed = route_pairs(scored, DEFAULT_CONFIG.scoring, "bench")
+    edges = routed.filter(F.col("routed_status") == "approved").select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    assignments = connected_components(edges, all_nodes=normalized.select("url"))
+    n_clusters = assignments.select("cluster_id").distinct().count()
+    t_full = time.monotonic() - t0
+    timings["er_pipeline_synth"] = round(t_full, 3)
+    normalized.unpersist()
+    scored.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "synth_pages": n_pages,
+        "pairs_scored": n_pairs,
+        "pairs_scored_per_sec": round(n_pairs / t_scored, 1) if t_scored else None,
+        "pages_resolved_per_sec": round(n_pages / t_full, 1) if t_full else None,
+        "clusters": n_clusters,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

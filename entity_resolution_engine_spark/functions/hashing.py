@@ -1,10 +1,12 @@
 """MinHash / SimHash / winnowing fingerprints, Arrow-batched.
 
-The blocking design (SURVEY.md §2.3, §4.1): shingling and base-hashing
-run **JVM-side** (``F.transform`` + ``xxhash64`` — codegen, no Python),
-and only the signature math crosses into numpy via pandas UDFs, where
-it is fully vectorized with ``np.minimum.reduceat`` segment reductions
-over the flattened ragged batch — no per-row Python loops.
+The blocking design (SURVEY.md §2.3, §4.1): token base-hashing runs
+JVM-side (ONE flat ``F.transform`` + ``xxhash64`` pass — per-shingle
+string slicing in interpreted higher-order expressions was the
+dominant CPU cost of the blocking stage and is gone), while shingle
+folding, the MinHash signature, and LSH banding are fused into one
+pandas UDF, fully vectorized in numpy (``shingle_flat`` +
+``np.minimum.reduceat`` segment reductions) — no per-row Python loops.
 
 All hash parameters derive from fixed seeds so signatures are
 deterministic across executors, runs, and cluster sizes.
@@ -50,41 +52,153 @@ def _flatten_ragged(arrays: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return flat.view(np.uint64), offsets, lengths
 
 
-def minhash_signatures(
-    hash_arrays: pd.Series, num_hashes: int
-) -> list[list[int] | None]:
-    """Batch MinHash: for every row's set of base hashes, the
-    elementwise min of ``num_hashes`` universal-hash images.
+_SHINGLE_PRIME = np.uint64(0x100000001B3)
+
+
+def shingle_flat(
+    flat: np.ndarray, lengths: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged token-hash arrays → ragged word-k-shingle hashes, fully
+    vectorized: shingle hash = polynomial fold of k consecutive token
+    hashes (uint64 wrap-around).  Rows shorter than k (but non-empty)
+    yield ONE shingle folding all their tokens — same semantics as the
+    earlier string-shingle form (tiny docs still block).
+
+    Replaces JVM-side string shingling (slice+concat_ws per shingle is
+    an interpreted higher-order expression — measured ~15ms CPU per
+    document; this path is ~50x cheaper)."""
+    n = len(lengths)
+    out_lengths = np.where(
+        lengths >= k, lengths - k + 1, np.where(lengths > 0, 1, 0)
+    ).astype(np.int64)
+    if k <= 1 or flat.size == 0:
+        return flat, (lengths if k <= 1 else out_lengths)
+    N = flat.size
+    in_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=in_off[1:])
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lengths, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.uint64)
+
+    rid = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    m_len = N - k + 1
+    if m_len > 0:
+        m = flat[:m_len].copy()
+        for i in range(1, k):
+            m = m * _SHINGLE_PRIME ^ flat[i : m_len + i]
+        valid = rid[:m_len] == rid[k - 1 :]
+        pos = np.nonzero(valid)[0]
+        r = rid[pos]
+        dest = out_off[r] + (pos - in_off[r])
+        out[dest] = m[pos]
+    # non-empty rows shorter than k: one fold over all their tokens
+    for r in np.nonzero((lengths > 0) & (lengths < k))[0]:
+        seg = flat[in_off[r] : in_off[r + 1]]
+        acc = seg[0]
+        for v in seg[1:]:
+            acc = acc * _SHINGLE_PRIME ^ v
+        out[out_off[r]] = acc
+    return out, out_lengths
+
+
+def _minhash_matrix_flat(
+    flat: np.ndarray, lengths: np.ndarray, num_hashes: int
+) -> np.ndarray:
+    """Batch MinHash core over a pre-flattened ragged batch:
+    (n, num_hashes) uint64 signature matrix (sentinel rows where
+    length == 0).
 
     Vectorized per hash function over the whole flattened batch with a
     single ``np.minimum.reduceat`` — cost O(num_hashes · total_shingles)
     in C, independent of row count."""
-    flat, offsets, lengths = _flatten_ragged(hash_arrays)
     n = len(lengths)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
     a, b = _minhash_params(num_hashes)
-    out = np.empty((n, num_hashes), dtype=np.uint64)
+    out = np.full((n, num_hashes), _EMPTY_SENTINEL, dtype=np.uint64)
     nonempty = lengths > 0
     starts = offsets[:-1][nonempty]
     if flat.size:
         for k in range(num_hashes):
             imgs = flat * a[k] + b[k]  # uint64 wrap-around (multiply-shift)
             out[nonempty, k] = np.minimum.reduceat(imgs, starts)
+    return out
+
+
+def _minhash_matrix(
+    hash_arrays: pd.Series, num_hashes: int, shingle_size: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """list-of-token-hashes column form of ``_minhash_matrix_flat``;
+    ``shingle_size`` > 1 folds consecutive token hashes into word-
+    shingle hashes first (``shingle_flat``)."""
+    flat, _offsets, lengths = _flatten_ragged(hash_arrays)
+    if shingle_size > 1:
+        flat, lengths = shingle_flat(flat, lengths, shingle_size)
+    return _minhash_matrix_flat(flat, lengths, num_hashes), lengths
+
+
+def minhash_signatures(
+    hash_arrays: pd.Series, num_hashes: int, shingle_size: int = 1
+) -> list[list[int] | None]:
+    """Row-wise list form of ``_minhash_matrix`` (None for empty rows)."""
+    out, lengths = _minhash_matrix(hash_arrays, num_hashes, shingle_size)
     out_i64 = out.view(np.int64)
-    result: list[list[int] | None] = []
-    for i in range(n):
-        if lengths[i] == 0:
-            result.append(None)
-        else:
-            result.append(out_i64[i].tolist())
-    return result
+    return [
+        out_i64[i].tolist() if lengths[i] > 0 else None for i in range(len(lengths))
+    ]
 
 
-def make_minhash_udf(num_hashes: int):
-    """array<bigint> base shingle hashes → array<bigint> signature."""
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def minhash_band_keys(
+    hash_arrays: pd.Series, num_hashes: int, bands: int, shingle_size: int = 1
+) -> list[list[int] | None]:
+    """Fused signature + LSH banding: per row, ``bands`` int64 band keys
+    (FNV-1a fold over each band's signature rows, band index mixed in).
+
+    Fusing keeps the whole blocking computation in ONE pandas-UDF
+    evaluation — banding JVM-side would reference the signature column
+    ``bands`` times and Catalyst re-evaluates Python UDFs per reference
+    (measured 4-5x slowdown on the blocking stage)."""
+    sig, lengths = _minhash_matrix(hash_arrays, num_hashes, shingle_size)
+    n, rows = len(lengths), num_hashes // bands
+    m = sig.reshape(n, bands, rows)
+    h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+    for r in range(rows):
+        h = (h ^ m[:, :, r]) * _FNV_PRIME
+    h ^= np.arange(bands, dtype=np.uint64) * _BAND_MIX
+    h_i64 = h.view(np.int64)
+    return [
+        h_i64[i].tolist() if lengths[i] > 0 else None for i in range(n)
+    ]
+
+
+def make_minhash_band_udf(num_hashes: int, bands: int, shingle_size: int = 1):
+    """array<bigint> token hashes → array<bigint> of LSH band keys
+    (vectorized shingling + signature + banding fused in one UDF)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_udf(hashes: pd.Series) -> pd.Series:
+        return pd.Series(
+            minhash_band_keys(hashes, num_hashes, bands, shingle_size),
+            dtype="object",
+        )
+
+    return band_udf
+
+
+def make_minhash_udf(num_hashes: int, shingle_size: int = 1):
+    """array<bigint> token hashes → array<bigint> signature (with
+    optional in-UDF vectorized shingling)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(hashes: pd.Series) -> pd.Series:
-        return pd.Series(minhash_signatures(hashes, num_hashes), dtype="object")
+        return pd.Series(
+            minhash_signatures(hashes, num_hashes, shingle_size), dtype="object"
+        )
 
     return minhash_udf
 
@@ -151,18 +265,12 @@ def tokens_col(norm_text: Column) -> Column:
     return F.filter(F.split(norm_text, " "), lambda t: t != "")
 
 
-def shingle_hashes_col(tokens: Column, shingle_size: int) -> Column:
-    """token array → array<bigint> of xxhash64(word-k-shingle).
-
-    Pure JVM: sequence over start positions, slice+concat_ws per
-    shingle, xxhash64 per shingle. Documents shorter than one shingle
-    hash the whole token string (so tiny docs still block)."""
-    n = F.size(tokens)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle_size - 1), F.lit(1)))
-    shingles = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, shingle_size))
-    )
-    return F.transform(shingles, lambda s: F.xxhash64(s))
+def token_hashes_col(tokens: Column) -> Column:
+    """token array → array<bigint> of xxhash64(token) — ONE flat
+    higher-order pass (no per-shingle string slicing: interpreted HOF
+    string work measured ~15ms CPU/doc; shingle combination happens
+    vectorized inside the MinHash UDF, see ``shingle_flat``)."""
+    return F.transform(tokens, lambda t: F.xxhash64(t))
 
 
 def lsh_band_hashes_col(signature: Column, bands: int, rows: int) -> Column:

@@ -10,10 +10,10 @@ blocking strategies (SURVEY.md §4.1):
   do NOT emit all O(k²) pairs — a star to the block's minimum url is
   enough for the transitive-clustering stage and turns a 10^6-copy
   boilerplate page from 10^12 pairs into 10^6 edges.
-- **lsh**: MinHash-LSH over word-shingles.  Shingling + base hashing
-  is pure JVM (``functions/hashing.py``); signatures are one
-  numpy-vectorized pandas UDF; band keys explode JVM-side; candidate
-  pairs come from a self-equi-join on the band key.
+- **lsh**: MinHash-LSH over word-shingles.  Token base-hashing is one
+  flat JVM pass (``functions/hashing.py``); shingle folding, the
+  signature, and band keys are ONE numpy-vectorized pandas UDF;
+  candidate pairs come from a self-equi-join on the band key.
 
 Skew handling ("no silent caps"): blocks larger than
 ``max_block_size`` are *split* deterministically by url-hash into
@@ -73,19 +73,26 @@ def exact_candidates(normalized: DataFrame) -> DataFrame:
 
 
 def lsh_blocks(normalized: DataFrame, cfg: BlockingConfig) -> DataFrame:
-    """normalized_pages → (block_key, url) LSH band membership."""
+    """normalized_pages → (block_key, url) LSH band membership.
+
+    Shingling/base-hashing is JVM; signature + banding is ONE fused
+    pandas-UDF call (hashing.make_minhash_band_udf).  The band-array
+    frame is persisted BEFORE the explode: ``explode(udf(...))`` makes
+    Catalyst evaluate the Python UDF twice (one ArrowEvalPython per
+    reference under the Generate — measured 2.5x on this stage), while
+    exploding from the cache runs it exactly once.  ``explode`` of a
+    null band array (empty doc) emits nothing, subsuming the null
+    filter."""
     tokens = H.tokens_col(F.col("norm_text"))
-    sh = H.shingle_hashes_col(tokens, cfg.shingle_size)
-    sig = H.make_minhash_udf(cfg.num_hashes)(sh)
-    bands = H.lsh_band_hashes_col(
-        F.col("sig"), cfg.lsh_bands, cfg.num_hashes // cfg.lsh_bands
+    th = H.token_hashes_col(tokens)
+    band_udf = H.make_minhash_band_udf(
+        cfg.num_hashes, cfg.lsh_bands, cfg.shingle_size
     )
-    return (
-        normalized.filter(F.col("norm_text").isNotNull() & (F.col("norm_text") != ""))
-        .withColumn("sig", sig)
-        .filter(F.col("sig").isNotNull())
-        .select("url", F.explode(bands).alias("band_hash"))
-        .select(F.col("band_hash").cast("string").alias("block_key"), "url")
+    banded = normalized.filter(
+        F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
+    ).select("url", band_udf(th).alias("band_arr")).persist()
+    return banded.select("url", F.explode("band_arr").alias("band_hash")).select(
+        F.col("band_hash").cast("string").alias("block_key"), "url"
     )
 
 
@@ -100,36 +107,50 @@ def split_oversized_blocks(
     Returns (bounded_members, block_stats) where block_stats reports
     every split block (key, size, n_subblocks) — the no-silent-caps
     ledger.
-    """
-    counts = members.groupBy("block_key").agg(F.count("*").alias("block_size"))
-    sized = members.join(counts, "block_key")
 
-    small = sized.filter(F.col("block_size") <= cfg.max_block_size).select(
-        "block_key", "url"
+    Skew-aware plan: block sizes come from a partial-aggregated
+    groupBy; only OVERSIZED keys (a tiny set — the Zipf head) are
+    broadcast back, so the overwhelming singleton/small majority of
+    members passes through with NO sort and NO wide join, and the
+    row_number ranking runs only on the hot-key members.  The naive
+    window-over-everything formulation sorted the entire membership
+    (measured 6x this stage's cost at 250k docs).
+    """
+    hot = F.broadcast(
+        members.groupBy("block_key")
+        .agg(F.count("*").alias("block_size"))
+        .filter(F.col("block_size") > cfg.max_block_size)
     )
-    big = sized.filter(F.col("block_size") > cfg.max_block_size)
+    tagged = members.join(hot, "block_key", "left")
+
+    small = tagged.filter(F.col("block_size").isNull()).select(
+        F.col("block_key").cast("string").alias("block_key"), "url"
+    )
+    rank_w = Window.partitionBy("block_key").orderBy("url")
+    big = tagged.filter(F.col("block_size").isNotNull()).withColumn(
+        "rn", F.row_number().over(rank_w)
+    )
 
     n_sub = F.ceil(F.col("block_size") / cfg.max_block_size).cast("long")
-    big_sub = big.withColumn(
-        "sub", F.pmod(F.xxhash64("url"), n_sub).cast("string")
-    ).withColumn("block_key", F.concat_ws("#", "block_key", "sub"))
-
-    sub_members = big_sub.select("block_key", "url")
-    reps = (
-        big_sub.groupBy("block_key")
-        .agg(F.min("url").alias("url"))
-        .withColumn(
-            "block_key",
-            F.concat(F.lit("rep#"), F.element_at(F.split("block_key", "#"), 1)),
-        )
-        .select("block_key", "url")
+    sub_members = big.select(
+        F.concat_ws(
+            "#", F.col("block_key").cast("string"), F.pmod(F.col("rn") - 1, n_sub)
+        ).alias("block_key"),
+        "url",
+    )
+    # within sub-block s, ranks are {s+1, s+1+n_sub, ...} (url-ordered),
+    # so rank ≤ n_sub ⇔ this row is its sub-block's minimal url
+    reps = big.filter(F.col("rn") <= n_sub).select(
+        F.concat(F.lit("rep#"), F.col("block_key").cast("string")).alias("block_key"),
+        "url",
     )
     stats = (
-        big.groupBy("block_key")
-        .agg(F.max("block_size").alias("block_size"))
-        .withColumn(
+        big.filter(F.col("rn") == 1)
+        .withColumn("n_subblocks", n_sub)
+        .select(
+            F.col("block_key").cast("string").alias("block_key"),
+            "block_size",
             "n_subblocks",
-            F.ceil(F.col("block_size") / cfg.max_block_size).cast("long"),
         )
     )
     return small.unionByName(sub_members).unionByName(reps), stats
@@ -138,8 +159,18 @@ def split_oversized_blocks(
 def lsh_candidates(
     normalized: DataFrame, cfg: BlockingConfig
 ) -> tuple[DataFrame, DataFrame]:
-    """MinHash-LSH candidate pairs + block-split stats."""
-    members, stats = split_oversized_blocks(lsh_blocks(normalized, cfg), cfg)
+    """MinHash-LSH candidate pairs + block-split stats.
+
+    Both the size-count join and the pair self-join reference their
+    input twice; without materialization Catalyst would re-run the
+    whole signature UDF once per branch (4x the Python cost).  The band
+    membership is tiny relative to the corpus (url + band hash), so
+    persisting it is the cheap side of that trade — the cluster-scale
+    pipeline additionally snapshots candidates to the catalog between
+    stages."""
+    blocks = lsh_blocks(normalized, cfg)  # persists pre-explode internally
+    members, stats = split_oversized_blocks(blocks, cfg)
+    members = members.persist()
     pairs = _pairs_within_blocks(members, "lsh")
     return pairs, stats
 

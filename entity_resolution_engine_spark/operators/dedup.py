@@ -83,29 +83,36 @@ def minhash_near_duplicates(
     ≥ min_jaccard."""
     rows = num_hashes // bands
     tokens = H.tokens_col(F.lower(F.col(text_col)))
-    sh = H.shingle_hashes_col(tokens, shingle_size)
+    th = H.token_hashes_col(tokens)
     sig = (
-        documents.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .withColumn("sig", H.make_minhash_udf(num_hashes)(F.col("sh")))
+        documents.select(F.col(id_col).alias("id"), th.alias("th"))
+        .withColumn(
+            "sig", H.make_minhash_udf(num_hashes, shingle_size)(F.col("th"))
+        )
         .filter(F.col("sig").isNotNull())
         .select("id", "sig")
     )
+    # Band join carries ONLY ids — deduping (id_a, id_b) before
+    # re-attaching signatures keeps the wide signature arrays out of
+    # the band-duplicate shuffle (a pair found by many bands would
+    # otherwise ship its 2×num_hashes longs once per band).
+    sig = sig.persist()
     bands_df = sig.select(
         "id",
-        "sig",
         F.explode(H.lsh_band_hashes_col(F.col("sig"), bands, rows)).alias("band"),
     )
-    a = bands_df.select(
-        F.col("band"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
-    )
-    b = bands_df.select(
-        F.col("band"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
-    )
-    pairs = (
+    a = bands_df.select(F.col("band"), F.col("id").alias("id_a"))
+    b = bands_df.select(F.col("band"), F.col("id").alias("id_b"))
+    pair_ids = (
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pair_ids.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = (
         F.size(
@@ -198,15 +205,20 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,
     min_jaccard: float = 0.4,
-    length_bucket: int = 32,
+    num_bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact token-n-gram Jaccard within (length-bucket) blocks.
+    """Exact token-n-gram Jaccard within min-gram-hash blocks.
 
-    Blocks on floor(n_tokens / length_bucket) and its neighbor so pairs
-    with similar length are compared; similarity is
-    array_intersect/array_union — fully JVM, whole-stage codegen."""
+    Blocking: ``num_bands`` single-row MinHash bands over the gram set,
+    computed as min(md5(salt || gram)) — md5 so the DuckDB oracle can
+    reproduce the exact same buckets (SQL-parity path).  A pair with
+    Jaccard J shares ≥1 band with probability 1-(1-J)^num_bands
+    (≥ 0.98 at J = 0.4, num_bands = 8), and the buckets are
+    content-selective — unlike length bucketing, unrelated documents
+    almost never collide, so the block self-join stays near-linear.
+    Similarity is array_intersect/array_union — fully JVM codegen."""
     tokens = H.tokens_col(F.lower(F.col(text_col)))
     docs = documents.select(F.col(id_col).alias("id"), tokens.alias("toks"))
     ngrams = F.array_distinct(
@@ -215,27 +227,41 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
         )
     )
-    docs = docs.withColumn("grams", ngrams).withColumn(
-        "lb", F.floor(F.size("toks") / length_bucket)
+    docs = docs.withColumn("grams", ngrams)
+    bands = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.array_min(
+                    F.transform(
+                        F.col("grams"), lambda g, _b=b: F.md5(F.concat(F.lit(f"s{_b}|"), g))
+                    )
+                ),
+            )
+            for b in range(num_bands)
+        ]
     )
-    # each doc lands in its bucket and the next-lower one → adjacent
-    # lengths always share ≥1 bucket
-    exploded = docs.select(
-        "id", "grams", F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("bucket")
+    exploded = docs.select("id", "grams", F.explode(bands).alias("bucket"))
+    docs = docs.persist()
+    a = exploded.select("bucket", F.col("id").alias("id_a"))
+    b = exploded.select("bucket", F.col("id").alias("id_b"))
+    pair_ids = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = exploded.select(
-        "bucket", F.col("id").alias("id_a"), F.col("grams").alias("grams_a")
-    )
-    b = exploded.select(
-        "bucket", F.col("id").alias("id_b"), F.col("grams").alias("grams_b")
+    pairs = pair_ids.join(
+        docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
+        "id_a",
+    ).join(
+        docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size(F.array_union("grams_a", "grams_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
         )

@@ -1,0 +1,109 @@
+"""Scaling evidence for the north_rule's two-cluster-size criterion,
+sandbox adaptation (no real cluster): run the SAME ER job on the SAME
+input at N and 4N local cores (fresh JVM per level), report throughput
+at both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Usage: python scripts/bench_scaling.py [n_rows] — writes one JSON line
+to stdout; paste/record into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 250000
+LEVELS = (8, 32)
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from entity_resolution_engine_spark.session import get_spark
+from entity_resolution_engine_spark.config import DEFAULT_CONFIG
+from entity_resolution_engine_spark.operators.blocking import candidate_pairs
+from entity_resolution_engine_spark.operators.cluster import connected_components
+from entity_resolution_engine_spark.operators.normalize_stage import normalize_pages
+from entity_resolution_engine_spark.operators.router import route_pairs
+from entity_resolution_engine_spark.operators.scoring import score_pairs
+from entity_resolution_engine_spark.sources.synth import generate_web_pages
+
+cpus, n_rows = int(sys.argv[1]), int(sys.argv[2])
+spark = get_spark(app_name=f"scale_{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+
+def run(n):
+    t0 = time.monotonic()
+    pages, _ = generate_web_pages(spark, n)
+    normalized = normalize_pages(pages).persist()
+    n_pages = normalized.count()
+    pairs, _stats = candidate_pairs(normalized, DEFAULT_CONFIG.blocking)
+    scored = score_pairs(pairs, normalized, DEFAULT_CONFIG.scoring).persist()
+    n_pairs = scored.count()
+    t_scored = time.monotonic() - t0
+    routed = route_pairs(scored, DEFAULT_CONFIG.scoring, "scale")
+    edges = routed.filter(F.col("routed_status") == "approved").select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+    assignments = connected_components(edges, all_nodes=normalized.select("url"))
+    n_clusters = assignments.select("cluster_id").distinct().count()
+    wall = time.monotonic() - t0
+    spark.catalog.clearCache()
+    return n_pages, n_pairs, n_clusters, wall, t_scored
+
+# warm the JVM (JIT, codegen caches, Python workers) on a small corpus,
+# then take the best of two measured runs — first-run JIT variance on a
+# fresh code path was measured at up to 3x
+run(5000)
+best = None
+for _ in range(2):
+    r = run(n_rows)
+    if best is None or r[3] < best[3]:
+        best = r
+n_pages, n_pairs, n_clusters, wall, t_scored = best
+print("CHILD_RESULT " + json.dumps({
+    "cpus": cpus, "pages": n_pages, "pairs_scored": n_pairs,
+    "clusters": n_clusters, "wall_sec": round(wall, 2),
+    "scored_sec": round(t_scored, 2),
+    "pages_per_sec": round(n_pages / wall, 1),
+    "pairs_scored_per_sec": round(n_pairs / t_scored, 1),
+}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    results = {}
+    for cpus in LEVELS:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(cpus), str(N_ROWS)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3000,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+            raise SystemExit(f"child at local[{cpus}] produced no result")
+        results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
+
+    lo, hi = LEVELS
+    speedup = results[lo]["wall_sec"] / results[hi]["wall_sec"]
+    ideal = hi / lo
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(speedup / ideal, 3),
+        "unit": "fraction_of_ideal",
+        "n_rows": N_ROWS,
+        "speedup": round(speedup, 2),
+        "ideal_speedup": ideal,
+        "levels": results,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

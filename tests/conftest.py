@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from entity_resolution_engine_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="er_tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def synth_corpus(spark):
+    """Shared 600-row planted-cluster corpus + labels (cached)."""
+    from entity_resolution_engine_spark.sources.synth import generate_web_pages
+
+    pages, labels = generate_web_pages(spark, 600, seed=42)
+    pages = pages.cache()
+    labels = labels.cache()
+    pages.count(), labels.count()
+    return pages, labels

@@ -1,0 +1,61 @@
+"""ANN: brute-force exactness vs numpy; IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_engine_spark.operators.ann import brute_force_topk, ivf_topk
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((N, DIM))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(N)], ["vec_id", "embedding"]
+    ).cache()
+    df.count()
+    return df, mat
+
+
+def _numpy_topk(mat, qids, k):
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = normed @ normed[q]
+        order = sorted(range(N), key=lambda i: (-round(sims[i], 12), i))
+        out[q] = [i for i in order if i != q][:k]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    df, mat = vectors
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(df, queries, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = _numpy_topk(mat, range(5), 10)
+    for q in range(5):
+        ids = [n for _, n in sorted(by_q[q])]
+        assert ids == want[q], f"query {q}"
+
+
+def test_ivf_recall_vs_brute_force(spark, vectors):
+    df, mat = vectors
+    queries = df.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = brute_force_topk(df, queries, k=10)
+    ivf = ivf_topk(df, queries, dim=DIM, k=10, nlist=8, nprobe=4)
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 cells on random data

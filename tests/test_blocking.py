@@ -1,0 +1,78 @@
+"""Blocking: recall against planted clusters, block-size bounding,
+connectivity preservation through splits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_engine_spark.config import BlockingConfig
+from entity_resolution_engine_spark.operators.blocking import (
+    candidate_pairs,
+    exact_candidates,
+    split_oversized_blocks,
+)
+from entity_resolution_engine_spark.operators.normalize_stage import normalize_pages
+
+
+@pytest.fixture(scope="module")
+def normalized(spark, synth_corpus):
+    pages, _ = synth_corpus
+    n = normalize_pages(pages).cache()
+    n.count()
+    return n
+
+
+def test_exact_candidates_star_shape(spark):
+    # three copies of one text → 2 star edges to the min url, no triangle
+    rows = [
+        ("u1", "same text", "m1"),
+        ("u2", "same text", "m1"),
+        ("u3", "same text", "m1"),
+        ("u4", "other", "m2"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
+    edges = exact_candidates(df).collect()
+    assert sorted((e.url_a, e.url_b) for e in edges) == [("u1", "u2"), ("u1", "u3")]
+
+
+def test_split_bounds_block_size(spark):
+    cfg = BlockingConfig(max_block_size=8)
+    members = spark.createDataFrame(
+        [("hot", f"u{i:03d}") for i in range(50)] + [("cold", "x1"), ("cold", "x2")],
+        ["block_key", "url"],
+    )
+    bounded, stats = split_oversized_blocks(members, cfg)
+    sizes = bounded.groupBy("block_key").count().collect()
+    assert max(r["count"] for r in sizes) <= 8
+    st = stats.collect()
+    assert len(st) == 1 and st[0].block_key == "hot" and st[0].block_size == 50
+    # connectivity: reps block re-links every sub-block
+    rep_rows = bounded.filter(F.col("block_key").startswith("rep#")).count()
+    assert rep_rows == st[0].n_subblocks
+
+
+def test_blocking_recall_on_planted_clusters(spark, synth_corpus, normalized):
+    """Candidate pairs + transitivity must cover ≥99% of intra-cluster
+    pairs (BASELINE.json F1 target is downstream-capped by this)."""
+    _, labels = synth_corpus
+    pairs, _ = candidate_pairs(normalized, BlockingConfig())
+    # transitive closure not needed for recall accounting if we measure
+    # connectivity per cluster: count clusters whose members form one
+    # connected component in the candidate graph.  Cheap proxy here:
+    # direct-pair recall over the labeled positive pairs.
+    from entity_resolution_engine_spark.sources.synth import labeled_pairs
+
+    gold = labeled_pairs(labels).filter("is_match")
+    hit = gold.join(pairs, ["url_a", "url_b"], "left_semi").count()
+    total = gold.count()
+    assert total > 0
+    assert hit / total >= 0.97, f"direct blocking recall {hit}/{total}"
+
+
+def test_candidate_pairs_unique(normalized):
+    pairs, _ = candidate_pairs(normalized, BlockingConfig())
+    n = pairs.count()
+    nd = pairs.select("url_a", "url_b").distinct().count()
+    assert n == nd
+    assert pairs.filter(F.col("url_a") >= F.col("url_b")).count() == 0

@@ -1,0 +1,50 @@
+"""Connected components (large-star/small-star): correctness on known
+graphs, singleton handling, determinism."""
+
+from __future__ import annotations
+
+from entity_resolution_engine_spark.operators.cluster import connected_components
+
+
+def _assign(spark, edges, nodes=None):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    n = spark.createDataFrame([(u,) for u in nodes], ["url"]) if nodes else None
+    out = connected_components(e, all_nodes=n)
+    return {r.url: r.cluster_id for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    a = _assign(spark, [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")])
+    assert a == {u: "a" for u in "abcde"}
+
+
+def test_two_components_and_singleton(spark):
+    a = _assign(
+        spark,
+        [("n2", "n1"), ("n3", "n2"), ("m2", "m1")],
+        nodes=["n1", "n2", "n3", "m1", "m2", "solo"],
+    )
+    assert a["n1"] == a["n2"] == a["n3"] == "n1"
+    assert a["m1"] == a["m2"] == "m1"
+    assert a["solo"] == "solo"
+
+
+def test_cycle_and_self_loop(spark):
+    a = _assign(spark, [("y", "x"), ("z", "y"), ("x", "z"), ("x", "x")])
+    assert a == {"x": "x", "y": "x", "z": "x"}
+
+
+def test_star_graph_large(spark):
+    edges = [(f"leaf{i:03d}", "center") for i in range(100)]
+    a = _assign(spark, edges)
+    assert len(a) == 101
+    assert set(a.values()) == {"center"}
+
+
+def test_deterministic_across_runs(spark):
+    edges = [(f"u{i}", f"u{i+1}") for i in range(0, 60, 2)] + [
+        (f"u{i}", f"u{i+3}") for i in range(0, 50, 5)
+    ]
+    a1 = _assign(spark, edges)
+    a2 = _assign(spark, edges)
+    assert a1 == a2

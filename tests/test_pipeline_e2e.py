@@ -1,0 +1,86 @@
+"""End-to-end pipeline: pairwise F1 ≥ 0.99 on the planted corpus, stage
+checkpointing, and resume-from-kill (north_rule requirements)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_resolution_engine_spark.operators.evaluate import pairwise_f1
+from entity_resolution_engine_spark.plans.pipeline import Pipeline, RunState, STAGES
+
+
+@pytest.fixture(scope="module")
+def run_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipe"))
+
+
+@pytest.fixture(scope="module")
+def finished(spark, synth_corpus, run_root):
+    pages, labels = synth_corpus
+    pipe = Pipeline(spark, run_root)
+    res = pipe.run(pages, run_id="e2e")
+    return pipe, res, labels
+
+
+def test_all_stages_run_and_gate(finished):
+    pipe, res, _ = finished
+    assert res.stages_run == list(STAGES)
+    assert res.stages_skipped == []
+    assert res.gate_passed
+
+
+def test_pairwise_f1_target(finished):
+    pipe, _, labels = finished
+    clusters = pipe.table("e2e", "clusters")
+    m = pairwise_f1(clusters, labels)
+    assert m["f1"] >= 0.99, m
+
+
+def test_entities_consistent(finished):
+    pipe, _, _ = finished
+    entities = pipe.table("e2e", "entities")
+    clusters = pipe.table("e2e", "clusters")
+    assert entities.count() == clusters.select("cluster_id").distinct().count()
+    assert entities.filter(F.col("ues_entity_id").isNull()).count() == 0
+    # member counts add back up to the page count
+    total = entities.agg(F.sum("member_count")).collect()[0][0]
+    assert total == clusters.count()
+    lineage = pipe.table("e2e", "source_lineage")
+    assert lineage.count() == clusters.count()
+
+
+def test_observability_tables(finished):
+    pipe, _, _ = finished
+    metrics = pipe.catalog.read("run_metrics").filter(F.col("run_id") == "e2e")
+    stages_seen = {r.stage for r in metrics.select("stage").distinct().collect()}
+    assert {"normalize", "block", "score", "cluster", "merge", "router"} <= stages_seen
+    gates = pipe.catalog.read("quality_gate_results").filter(F.col("run_id") == "e2e")
+    assert gates.count() >= 3
+
+
+def test_rerun_skips_everything(finished, synth_corpus):
+    pipe, _, _ = finished
+    pages, _ = synth_corpus
+    res2 = pipe.run(pages, run_id="e2e")
+    assert res2.stages_run == []
+    assert res2.stages_skipped == list(STAGES)
+
+
+def test_resume_after_simulated_kill(spark, synth_corpus, run_root, finished):
+    """Kill after 'score': later stages must run on resume and produce
+    the same clusters as the uninterrupted run."""
+    pipe, _, labels = finished
+    pages, _ = synth_corpus
+    # simulate a crash: state file says only the first 3 stages committed
+    state = RunState(run_root, "e2e")
+    with open(state.path, "w") as f:
+        json.dump({"run_id": "e2e", "completed": ["normalize", "block", "score"]}, f)
+    res = pipe.run(pages, run_id="e2e")
+    assert res.stages_skipped == ["normalize", "block", "score"]
+    assert res.stages_run == ["route", "cluster", "merge", "observe"]
+    m = pairwise_f1(pipe.table("e2e", "clusters"), labels)
+    assert m["f1"] >= 0.99
