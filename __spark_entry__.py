@@ -382,6 +382,38 @@ def q_normalize_match_key(spark, sf):
     )
 
 
+# --- multimodal plumbing (rows-only: decode is a deterministic stub) ------------
+
+def q_media_features(spark, sf):
+    from entity_resolution_engine_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(_t(spark, sf, "documents"))
+    return MM.extract_media_features(media).select(
+        "media_id", "kind", "width", "height", "n_bytes"
+    )
+
+
+def q_media_frames(spark, sf):
+    from entity_resolution_engine_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(_t(spark, sf, "documents"))
+    frames = MM.sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+    )
+
+
+def q_windowed_page_metrics(spark, sf):
+    # streaming windowed-agg plan, exercised on the batch frame (same
+    # expressions run under readStream with the watermark)
+    from entity_resolution_engine_spark.plans.flagship import documents_as_pages
+    from entity_resolution_engine_spark.streaming.incremental import (
+        windowed_page_metrics,
+    )
+
+    return windowed_page_metrics(documents_as_pages(_t(spark, sf, "documents")))
+
+
 # --- flagship (rows-only) -------------------------------------------------------
 
 def q_er_resolve_documents(spark, sf):
@@ -418,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": q_doc_profile,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "windowed_page_metrics": q_windowed_page_metrics,
         "er_resolve_documents": q_er_resolve_documents,
     }
 

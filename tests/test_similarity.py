@@ -104,3 +104,25 @@ def test_pair_features_udf_matches_scalars(spark):
         )
         assert math.isclose(r.length_ratio, length_ratio(r.a, r.b), abs_tol=1e-12)
         assert 0.0 <= r.jaro_winkler <= 1.0
+
+
+def test_batch_jaro_winkler_matches_scalar():
+    import random
+
+    from entity_resolution_engine_spark.functions.similarity import (
+        JW_PREFIX_CHARS,
+        batch_jaro_winkler,
+    )
+
+    rng = random.Random(17)
+    vocab = "abcdefg hij"
+    cases = [("", ""), ("", "abc"), ("martha", "marhta"), ("dixon", "dicksonx"),
+             ("same", "same"), ("a" * 200, "a" * 150 + "b" * 50)]
+    for _ in range(200):
+        a = "".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        b = "".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        cases.append((a, b))
+    got = batch_jaro_winkler([a for a, _ in cases], [b for _, b in cases])
+    for (a, b), g in zip(cases, got):
+        want = jaro_winkler(a[:JW_PREFIX_CHARS], b[:JW_PREFIX_CHARS])
+        assert math.isclose(g, want, abs_tol=1e-12), (a, b, g, want)
