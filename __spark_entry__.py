@@ -382,6 +382,46 @@ def q_normalize_match_key(spark, sf):
     )
 
 
+def q_season_normalize(spark, sf):
+    # F5: season-string parsing (reference season_normalizer.py:10-36) —
+    # regex extract + 2-digit expansion + end<start rollover, pure JVM.
+    # Season-like strings are derived deterministically from order dates.
+    orders = _t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    raw = F.concat(
+        yr.cast("string"), F.lit("/"), F.format_string("%02d", (yr + 1) % 100)
+    )
+    start = F.regexp_extract(raw, r"(\d{2,4})\s*[-/]\s*(\d{2,4})", 1).cast("int")
+    end2 = F.regexp_extract(raw, r"(\d{2,4})\s*[-/]\s*(\d{2,4})", 2).cast("int")
+    # two-digit expansion: prefix of the start century, else <=30 -> 2000s
+    end = F.when(end2 >= 100, end2).otherwise(
+        (start / 100).cast("int") * 100 + end2
+    )
+    end = F.when(end < start, start + 1).otherwise(end)
+    return (
+        orders.select(raw.alias("season_raw"), start.alias("season_start"), end.alias("season_end"))
+        .distinct()
+    )
+
+
+def q_country_map_normalize(spark, sf):
+    # F4: broadcast-map country normalization
+    # (reference nationality_normalizer.py:11-15) — dict lookup with
+    # identity fallback, zero Python.
+    mapping = F.create_map(
+        F.lit("germany"), F.lit("Germany"),
+        F.lit("france"), F.lit("France"),
+        F.lit("japan"), F.lit("Japan"),
+        F.lit("united states"), F.lit("United States"),
+    )
+    return _t(spark, sf, "nation").select(
+        "n_nationkey",
+        F.coalesce(
+            mapping.getItem(F.lower(F.col("n_name"))), F.col("n_name")
+        ).alias("canonical_name"),
+    )
+
+
 # --- multimodal plumbing (rows-only: decode is a deterministic stub) ------------
 
 def q_media_features(spark, sf):
@@ -450,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": q_doc_profile,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,
+        "season_normalize": q_season_normalize,
+        "country_map_normalize": q_country_map_normalize,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "windowed_page_metrics": q_windowed_page_metrics,
@@ -669,6 +711,27 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "doc_profile": _DOC_PROFILE_SQL,
         "normalize_match_key": _NORM_SQL,
+        "season_normalize": (
+            "WITH raw AS (SELECT DISTINCT year(o_orderdate) AS yr, "
+            "  year(o_orderdate)::VARCHAR || '/' || "
+            "  lpad(((year(o_orderdate) + 1) % 100)::VARCHAR, 2, '0') AS season_raw "
+            "FROM orders), parsed AS ("
+            "SELECT season_raw, "
+            "  CAST(regexp_extract(season_raw, '(\\d{2,4})\\s*[-/]\\s*(\\d{2,4})', 1) AS INT) AS s, "
+            "  CAST(regexp_extract(season_raw, '(\\d{2,4})\\s*[-/]\\s*(\\d{2,4})', 2) AS INT) AS e2 "
+            "FROM raw) "
+            "SELECT season_raw, s AS season_start, "
+            "  CASE WHEN fixed < s THEN s + 1 ELSE fixed END AS season_end "
+            "FROM (SELECT season_raw, s, "
+            "  CASE WHEN e2 >= 100 THEN e2 ELSE (s // 100) * 100 + e2 END AS fixed "
+            "FROM parsed)"
+        ),
+        "country_map_normalize": (
+            "SELECT n_nationkey, CASE lower(n_name) "
+            "WHEN 'germany' THEN 'Germany' WHEN 'france' THEN 'France' "
+            "WHEN 'japan' THEN 'Japan' WHEN 'united states' THEN 'United States' "
+            "ELSE n_name END AS canonical_name FROM nation"
+        ),
         "ann_bruteforce": (
             "SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank FROM ("
             "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "

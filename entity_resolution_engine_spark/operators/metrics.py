@@ -27,31 +27,35 @@ from ..config import AnomalyConfig, QualityGateConfig
 def stage_metrics(
     df: DataFrame, run_id: str, stage: str, seq: int, per_partition: bool = True
 ) -> DataFrame:
-    """Row counts (total + per shuffle partition) for one stage output."""
-    total = df.agg(F.count("*").alias("value")).select(
-        F.lit(run_id).alias("run_id"),
-        F.lit(stage).alias("stage"),
-        F.lit("row_count").alias("metric"),
-        F.col("value").cast("double"),
-        F.lit(None).cast("int").alias("partition_id"),
-        F.lit(seq).alias("finished_seq"),
-    )
+    """Row counts (total + per shuffle partition) for one stage output.
+
+    ONE rollup aggregation produces both granularities (the null
+    partition_id row is the grand total) — the earlier two-pass form
+    (count + groupBy) doubled the scan per observed stage."""
     if not per_partition:
-        return total
-    per_part = (
+        return df.agg(F.count("*").alias("value")).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.lit("row_count").alias("metric"),
+            F.col("value").cast("double"),
+            F.lit(None).cast("int").alias("partition_id"),
+            F.lit(seq).alias("finished_seq"),
+        )
+    return (
         df.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
+        .rollup("partition_id")
         .agg(F.count("*").cast("double").alias("value"))
         .select(
             F.lit(run_id).alias("run_id"),
             F.lit(stage).alias("stage"),
-            F.lit("partition_row_count").alias("metric"),
+            F.when(F.col("partition_id").isNull(), F.lit("row_count"))
+            .otherwise(F.lit("partition_row_count"))
+            .alias("metric"),
             "value",
             "partition_id",
             F.lit(seq).alias("finished_seq"),
         )
     )
-    return total.unionByName(per_part)
 
 
 def derive_run_rates(run_metrics: DataFrame) -> DataFrame:

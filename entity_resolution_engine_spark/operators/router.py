@@ -139,14 +139,18 @@ def llm_validate_sample(
         .limit(cfg.max_llm_calls_per_run)
         .collect()
     )
+    breaker_window = 50  # reference llm_validation.yml circuit_breaker.window
     window: list[bool] = []
     out = []
     for row in sample:
-        if len(window) >= 50:
+        # reference parity (router.py:148-160): the breaker can only
+        # open once the rolling window is FULL — a cold-start failure
+        # must not permanently disable validation
+        if len(window) >= breaker_window:
+            fail_rate = sum(1 for w in window if not w) / len(window)
+            if fail_rate >= 0.2:
+                break  # breaker open → remaining pairs take the fallback path
             window.pop(0)
-        fail_rate = (sum(1 for w in window if not w) / len(window)) if window else 0.0
-        if fail_rate >= 0.2:
-            break  # breaker open → remaining pairs take the fallback path
         try:
             verdict = validate_fn(row.asDict())
             window.append(True)

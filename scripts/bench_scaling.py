@@ -3,6 +3,11 @@ sandbox adaptation (no real cluster): run the SAME ER job on the SAME
 input at N and 4N local cores (fresh JVM per level), report throughput
 at both plus scaling efficiency = (T_N / T_4N) / 4.
 
+The corpus is materialized to parquet ONCE and both levels read it —
+a real deployment reads an Iceberg/parquet table, and the synthetic
+generator's own cost (driver-side column expressions) must not pollute
+the engine measurement.
+
 Usage: python scripts/bench_scaling.py [n_rows] — writes one JSON line
 to stdout; paste/record into BASELINE.md.
 """
@@ -11,11 +16,27 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 250000
 LEVELS = (8, 32)
+
+_GEN = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from entity_resolution_engine_spark.session import get_spark
+from entity_resolution_engine_spark.sources.synth import generate_web_pages
+out_dir, n_rows = sys.argv[1], int(sys.argv[2])
+spark = get_spark(app_name="scale_gen", master="local[32]", shuffle_partitions=32)
+pages, _ = generate_web_pages(spark, n_rows)
+pages.write.mode("overwrite").parquet(out_dir + "/full")
+# small warmup slice, same schema
+pages.limit(5000).write.mode("overwrite").parquet(out_dir + "/warmup")
+spark.stop()
+"""
 
 _CHILD = r"""
 import json, sys, time
@@ -28,15 +49,14 @@ from entity_resolution_engine_spark.operators.cluster import connected_component
 from entity_resolution_engine_spark.operators.normalize_stage import normalize_pages
 from entity_resolution_engine_spark.operators.router import route_pairs
 from entity_resolution_engine_spark.operators.scoring import score_pairs
-from entity_resolution_engine_spark.sources.synth import generate_web_pages
 
-cpus, n_rows = int(sys.argv[1]), int(sys.argv[2])
+cpus, corpus_dir = int(sys.argv[1]), sys.argv[2]
 spark = get_spark(app_name=f"scale_{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus)
 
-def run(n):
+def run(subdir):
     t0 = time.monotonic()
-    pages, _ = generate_web_pages(spark, n)
+    pages = spark.read.parquet(corpus_dir + "/" + subdir)
     normalized = normalize_pages(pages).persist()
     n_pages = normalized.count()
     pairs, _stats = candidate_pairs(normalized, DEFAULT_CONFIG.blocking)
@@ -52,13 +72,13 @@ def run(n):
     spark.catalog.clearCache()
     return n_pages, n_pairs, n_clusters, wall, t_scored
 
-# warm the JVM (JIT, codegen caches, Python workers) on a small corpus,
+# warm the JVM (JIT, codegen caches, Python workers) on a small slice,
 # then take the best of two measured runs — first-run JIT variance on a
 # fresh code path was measured at up to 3x
-run(5000)
+run("warmup")
 best = None
 for _ in range(2):
-    r = run(n_rows)
+    r = run("full")
     if best is None or r[3] < best[3]:
         best = r
 n_pages, n_pairs, n_clusters, wall, t_scored = best
@@ -74,11 +94,21 @@ spark.stop()
 
 
 def main() -> None:
+    corpus_dir = tempfile.mkdtemp(prefix="er_scale_corpus_")
+    gen = subprocess.run(
+        [sys.executable, "-c", _GEN, corpus_dir, str(N_ROWS)],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    if gen.returncode != 0:
+        sys.stderr.write(gen.stderr[-4000:])
+        raise SystemExit("corpus generation failed")
     results = {}
     for cpus in LEVELS:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         out = subprocess.run(
-            [sys.executable, "-c", _CHILD, str(cpus), str(N_ROWS)],
+            [sys.executable, "-c", _CHILD, str(cpus), corpus_dir],
             capture_output=True,
             text=True,
             env=env,
@@ -90,6 +120,7 @@ def main() -> None:
             raise SystemExit(f"child at local[{cpus}] produced no result")
         results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
 
+    shutil.rmtree(corpus_dir, ignore_errors=True)
     lo, hi = LEVELS
     speedup = results[lo]["wall_sec"] / results[hi]["wall_sec"]
     ideal = hi / lo

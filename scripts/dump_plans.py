@@ -1,0 +1,53 @@
+"""Dump formatted physical plans of the headline queries to PLANS.md —
+evidence that filters/projections reach the scan, dims broadcast, and
+Python stays out of the hot paths (run after code changes)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from entity_resolution_engine_spark.session import get_spark
+
+import __spark_entry__ as E
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+NAMES = [
+    "threshold_filter",
+    "revenue_by_nation",
+    "argmax_best_match",
+    "zscore_anomaly",
+    "exact_dup_groups",
+    "ngram_jaccard",
+    "ann_bruteforce",
+]
+
+
+def main() -> None:
+    spark = get_spark(shuffle_partitions=8)
+    qs = E.queries()
+    out = [
+        "# PLANS — formatted physical plans of headline queries\n",
+        "Regenerate with `python scripts/dump_plans.py`.  Things to check:",
+        "`PushedFilters`/`ReadSchema` on scans (pushdown + pruning),",
+        "`BroadcastHashJoin` for dimension joins, `WholeStageCodegen` spans,",
+        "and exactly ONE `ArrowEvalPython` per pandas-UDF stage (text inside",
+        "`InMemoryTableScan` descriptions is the cached plan, not execution).\n",
+    ]
+    for name in NAMES:
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        out.append(f"\n## {name}\n\n```\n{plan.strip()}\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
