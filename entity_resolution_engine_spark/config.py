@@ -28,9 +28,20 @@ class BlockingConfig:
     num_hashes: int = 192           # MinHash signature length
     lsh_bands: int = 48
     lsh_rows: int = 4               # bands * rows == num_hashes
-    max_block_size: int = 64        # cap on LSH-block membership before salt/split
-    salt_buckets: int = 8           # salt fan-out for hot blocking keys
-    hot_key_threshold: int = 1000   # block sizes above this get salted handling
+    # Hot-key salting is realized as deterministic round-robin
+    # sub-block splitting (blocking.split_oversized_blocks): blocks
+    # above max_block_size are salted into exactly-bounded sub-blocks
+    # re-linked through representatives, so connectivity survives while
+    # per-block pair count stays O(max_block_size²).
+    max_block_size: int = 64
+    # Composite key mode (north_star: "domain + MinHash-LSH"): prefix
+    # every LSH band key with the url's domain, confining candidates to
+    # same-domain pairs.  OFF by default — global LSH strictly dominates
+    # on recall (the synthetic corpus plants ~20% cross-domain dups, and
+    # real boilerplate clones cross domains too); turn on for corpora
+    # where domain partitioning is semantically safe to shrink shuffle
+    # width at extreme scale.
+    compose_domain: bool = False
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_hashes:

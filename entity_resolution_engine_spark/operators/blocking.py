@@ -52,15 +52,22 @@ def _pairs_within_blocks(members: DataFrame, strategy: str) -> DataFrame:
 def exact_candidates(normalized: DataFrame) -> DataFrame:
     """Exact-duplicate edges: star-to-min within each md5 block.
 
-    One window pass, no self-join: every member pairs with the block's
-    minimal url.  Emits nothing for singleton blocks.
+    Skew-safe shape: block minima come from a groupBy (partial
+    aggregation combines map-side, so a 10^6-copy boilerplate page
+    costs each task only one row) and members re-join on text_md5 with
+    AQE skew-join splitting the hot key's shuffle partition.  The
+    earlier window formulation sorted each md5 block inside ONE task —
+    exactly the hot-key failure mode the north_rule calls out.  Emits
+    nothing for singleton blocks.
     """
-    w = Window.partitionBy("text_md5")
-    stars = normalized.filter(
+    members = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
     ).select("text_md5", "url")
-    stars = (
-        stars.withColumn("root", F.min("url").over(w))
+    roots = members.groupBy("text_md5").agg(
+        F.min("url").alias("root"), F.count("*").alias("n")
+    ).filter(F.col("n") > 1)
+    return (
+        members.join(roots, "text_md5")
         .filter(F.col("url") != F.col("root"))
         .select(
             F.col("root").alias("url_a"),
@@ -69,7 +76,6 @@ def exact_candidates(normalized: DataFrame) -> DataFrame:
             F.lit("exact").alias("strategy"),
         )
     )
-    return stars
 
 
 def lsh_blocks(normalized: DataFrame, cfg: BlockingConfig) -> DataFrame:
@@ -90,10 +96,16 @@ def lsh_blocks(normalized: DataFrame, cfg: BlockingConfig) -> DataFrame:
     )
     banded = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
-    ).select("url", band_udf(th).alias("band_arr")).persist()
-    return banded.select("url", F.explode("band_arr").alias("band_hash")).select(
-        F.col("band_hash").cast("string").alias("block_key"), "url"
+    ).select("url", "domain", band_udf(th).alias("band_arr")).persist()
+    exploded = banded.select(
+        "url", "domain", F.explode("band_arr").alias("band_hash")
     )
+    if cfg.compose_domain:
+        # composite blocking key (north_star): domain + LSH band
+        key = F.concat_ws("|", F.col("domain"), F.col("band_hash").cast("string"))
+    else:
+        key = F.col("band_hash").cast("string")
+    return exploded.select(key.alias("block_key"), "url")
 
 
 def split_oversized_blocks(

@@ -76,3 +76,30 @@ def test_candidate_pairs_unique(normalized):
     nd = pairs.select("url_a", "url_b").distinct().count()
     assert n == nd
     assert pairs.filter(F.col("url_a") >= F.col("url_b")).count() == 0
+
+
+def test_compose_domain_mode(spark, synth_corpus, normalized):
+    """Composite (domain + band) keys confine candidates to one domain."""
+    from pyspark.sql import functions as F
+
+    cfg = BlockingConfig(compose_domain=True)
+    pairs, _ = candidate_pairs(normalized, cfg)
+    from entity_resolution_engine_spark.functions.normalize import domain_col
+
+    lsh_pairs = pairs.filter(F.col("strategy") == "lsh")
+    cross = lsh_pairs.filter(
+        domain_col(F.col("url_a")) != domain_col(F.col("url_b"))
+    ).count()
+    assert cross == 0
+    assert lsh_pairs.count() > 0
+
+
+def test_exact_candidates_skewed_block(spark):
+    # one md5 block with 500 members must produce a 499-edge star
+    rows = [(f"u{i:04d}", "same", "m1") for i in range(500)] + [
+        ("z1", "other", "m2")
+    ]
+    df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
+    edges = exact_candidates(df).collect()
+    assert len(edges) == 499
+    assert all(e.url_a == "u0000" for e in edges)
