@@ -149,6 +149,53 @@ def detect_anomalies(
     )
 
 
+def triage_report(
+    anomalies: DataFrame,
+    reviews: DataFrame | None,
+    run_id: str,
+    max_samples: int = 20,
+) -> dict:
+    """O2 analog — the reference's anomaly triage report
+    (/root/reference/entity_resolution_engine/monitoring/llm_triage.py:52-135):
+    a driver-side textual summary over two SMALL collected frames (the
+    anomaly events and the top review samples).  The default path is the
+    reference's deterministic fallback formatter (llm_triage.py:32-49);
+    an LLM rewrite would plug in where the summary string is built.
+    """
+    anoms = (
+        anomalies.filter(F.col("run_id") == run_id)
+        .orderBy(F.desc("severity"), F.desc(F.abs(F.col("z_score"))))
+        .collect()
+    )
+    samples = []
+    if reviews is not None:
+        samples = (
+            reviews.filter(F.col("run_id") == run_id)
+            .orderBy(F.desc("matcher_score"))
+            .limit(max_samples)
+            .collect()
+        )
+    lines = [f"Triage report for run {run_id}"]
+    if not anoms:
+        lines.append("No anomalies detected against the trailing baseline.")
+    for a in anoms:
+        lines.append(
+            f"[{a.severity}] {a.metric}={a.value:.4f} vs baseline "
+            f"{a.baseline_mean:.4f}±{a.baseline_stddev:.4f} (z={a.z_score:+.2f})"
+        )
+    if samples:
+        lines.append(f"Top {len(samples)} pending review pairs by score:")
+        for s in samples:
+            lines.append(f"  {s.url_a} ~ {s.url_b} score={s.matcher_score:.3f}")
+    return {
+        "run_id": run_id,
+        "n_anomalies": len(anoms),
+        "n_review_samples": len(samples),
+        "max_severity": anoms[0].severity if anoms else "NONE",
+        "report": "\n".join(lines),
+    }
+
+
 def evaluate_quality_gates(
     run_rates_row: DataFrame,
     anomalies: DataFrame,

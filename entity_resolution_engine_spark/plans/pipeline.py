@@ -203,6 +203,26 @@ class Pipeline:
             )
             anomalies = M.detect_anomalies(rates, run_order, run_id, self.cfg.anomaly)
             cat.write("anomaly_events", anomalies, mode="append")
+            report = M.triage_report(
+                cat.read("anomaly_events"),
+                cat.read(self._t(run_id, "reviews")),
+                run_id,
+            )
+            cat.write(
+                "anomaly_triage_reports",
+                self.spark.createDataFrame(
+                    [
+                        (
+                            run_id,
+                            report["max_severity"],
+                            report["n_anomalies"],
+                            report["report"],
+                        )
+                    ],
+                    "run_id string, max_severity string, n_anomalies int, report string",
+                ),
+                mode="append",
+            )
             gates = M.evaluate_quality_gates(
                 rates, cat.read("anomaly_events"), run_id, self.cfg.gates
             )

@@ -101,3 +101,33 @@ def test_quality_gates_pass_and_fail(spark):
     gates2 = {g.gate: g for g in evaluate_quality_gates(derive_run_rates(h2), empty_anoms, "r2", QualityGateConfig()).collect()}
     assert gates2["max_gray_zone_rate"].passed is True
     assert gates2["max_review_rate"].passed is True
+
+
+def test_triage_report_fallback(spark):
+    from entity_resolution_engine_spark.operators.metrics import triage_report
+
+    h = _history(spark, [9, 10, 11, 10, 9, 11], 40)
+    rates = derive_run_rates(h)
+    anomalies = detect_anomalies(rates, _run_order(spark, h), "current", AnomalyConfig())
+    reviews = spark.createDataFrame(
+        [("current", "a1", "b1", 0.55, "PENDING", "{}"),
+         ("current", "a2", "b2", 0.61, "PENDING", "{}")],
+        "run_id string, url_a string, url_b string, matcher_score double, "
+        "status string, signals string",
+    )
+    rep = triage_report(anomalies, reviews, "current")
+    assert rep["max_severity"] == "HIGH"
+    assert rep["n_review_samples"] == 2
+    assert "gray_zone_rate" in rep["report"]
+    assert "a2 ~ b2" in rep["report"]  # highest score first
+
+
+def test_triage_report_no_anomalies(spark):
+    from entity_resolution_engine_spark.operators.metrics import triage_report
+
+    empty = spark.createDataFrame(
+        [], "run_id string, metric string, value double, baseline_mean double, "
+        "baseline_stddev double, z_score double, severity string")
+    rep = triage_report(empty, None, "r9")
+    assert rep["max_severity"] == "NONE" and rep["n_anomalies"] == 0
+    assert "No anomalies" in rep["report"]

@@ -60,6 +60,11 @@ def test_observability_tables(finished):
     assert {"normalize", "block", "score", "cluster", "merge", "router"} <= stages_seen
     gates = pipe.catalog.read("quality_gate_results").filter(F.col("run_id") == "e2e")
     assert gates.count() >= 3
+    triage = pipe.catalog.read("anomaly_triage_reports").filter(
+        F.col("run_id") == "e2e"
+    )
+    assert triage.count() == 1
+    assert "Triage report" in triage.collect()[0].report
 
 
 def test_rerun_skips_everything(finished, synth_corpus):
