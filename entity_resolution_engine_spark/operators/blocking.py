@@ -94,12 +94,11 @@ def lsh_blocks(normalized: DataFrame, cfg: BlockingConfig) -> DataFrame:
     band_udf = H.make_minhash_band_udf(
         cfg.num_hashes, cfg.lsh_bands, cfg.shingle_size
     )
+    cols = ["url"] + (["domain"] if cfg.compose_domain else [])
     banded = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
-    ).select("url", "domain", band_udf(th).alias("band_arr")).persist()
-    exploded = banded.select(
-        "url", "domain", F.explode("band_arr").alias("band_hash")
-    )
+    ).select(*cols, band_udf(th).alias("band_arr")).persist()
+    exploded = banded.select(*cols, F.explode("band_arr").alias("band_hash"))
     if cfg.compose_domain:
         # composite blocking key (north_star): domain + LSH band
         key = F.concat_ws("|", F.col("domain"), F.col("band_hash").cast("string"))

@@ -103,3 +103,32 @@ def test_exact_candidates_skewed_block(spark):
     edges = exact_candidates(df).collect()
     assert len(edges) == 499
     assert all(e.url_a == "u0000" for e in edges)
+
+
+def test_hot_block_bounded_and_connected(spark):
+    """A 2000-copy boilerplate page (hot md5 AND hot LSH bands) must not
+    explode the pair count, must log its splits, and must still come out
+    as ONE connected component."""
+    from entity_resolution_engine_spark.operators.cluster import (
+        connected_components,
+    )
+
+    text = "identical boilerplate page body " * 8
+    rows = [
+        (f"https://s{i%7}.example.org/p/{i:05d}", text.lower().strip(), "hotmd5")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
+    cfg = BlockingConfig(max_block_size=64)
+    pairs, stats = candidate_pairs(df, cfg)
+    n_pairs = pairs.count()
+    # unbounded all-pairs would be ~2M; bounded: exact star (1999) +
+    # LSH sub-blocks (<= bands * ceil(2000/64) * C(64,2)-ish per block,
+    # deduped). Assert well under the quadratic blowup.
+    assert n_pairs < 300_000, n_pairs
+    assert stats.count() > 0  # the split ledger recorded the hot blocks
+    edges = pairs.select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+    assign = connected_components(edges, all_nodes=df.select("url"))
+    assert assign.select("cluster_id").distinct().count() == 1
