@@ -48,3 +48,44 @@ def test_deterministic_across_runs(spark):
     a1 = _assign(spark, edges)
     a2 = _assign(spark, edges)
     assert a1 == a2
+
+
+def test_resume_from_checkpoint_table(spark, tmp_path):
+    """CC resumes from a committed iteration state: when the checkpoint
+    table exists, iteration starts from it (not the raw edges) and the
+    final assignment is identical; the checkpoint is dropped on
+    completion."""
+    from entity_resolution_engine_spark.sources.catalog import (
+        ParquetSnapshotCatalog,
+    )
+
+    cat = ParquetSnapshotCatalog(spark, str(tmp_path / "cat"))
+    edges = [(f"n{i}", f"n{i+1}") for i in range(30)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+
+    # uninterrupted run for the expected answer
+    want = {
+        r.url: r.cluster_id
+        for r in connected_components(e, catalog=cat, checkpoint_table="cc_a").collect()
+    }
+    assert not cat.exists("cc_a")  # cleaned up after convergence
+
+    # simulate a kill mid-clustering: commit a partially-contracted edge
+    # set (one large-star/small-star round applied) as the checkpoint
+    from entity_resolution_engine_spark.operators.cluster import (
+        large_star,
+        small_star,
+    )
+
+    partial = small_star(large_star(e))
+    cat.write("cc_b", partial)
+    got = {
+        r.url: r.cluster_id
+        for r in connected_components(
+            spark.createDataFrame([("zz", "zz")], ["src", "dst"]),  # ignored: resume wins
+            catalog=cat,
+            checkpoint_table="cc_b",
+        ).collect()
+    }
+    assert got == want
+    assert not cat.exists("cc_b")
