@@ -89,3 +89,28 @@ def test_resume_after_simulated_kill(spark, synth_corpus, run_root, finished):
     assert res.stages_run == ["route", "cluster", "merge", "observe"]
     m = pairwise_f1(pipe.table("e2e", "clusters"), labels)
     assert m["f1"] >= 0.99
+
+
+def test_review_mode_pipeline(spark, synth_corpus, tmp_path_factory):
+    """fallback_mode='review': gray pairs become PENDING review items and
+    do NOT merge — clusters use only auto-approved edges."""
+    from dataclasses import replace
+
+    from entity_resolution_engine_spark.config import DEFAULT_CONFIG
+
+    pages, labels = synth_corpus
+    cfg = replace(
+        DEFAULT_CONFIG, scoring=replace(DEFAULT_CONFIG.scoring, fallback_mode="review")
+    )
+    pipe = Pipeline(spark, str(tmp_path_factory.mktemp("review")), config=cfg)
+    res = pipe.run(pages, run_id="rv")
+    assert res.stages_run == list(STAGES)
+    routed = pipe.table("rv", "routed")
+    n_gray = routed.filter(F.col("decision") == "gray").count()
+    n_pending = routed.filter(F.col("routed_status") == "pending").count()
+    assert n_gray == n_pending
+    reviews = pipe.table("rv", "reviews")
+    assert reviews.count() == n_gray
+    # precision must not drop below auto-approve mode (fewer edges only)
+    m = pairwise_f1(pipe.table("rv", "clusters"), labels)
+    assert m["precision"] >= 0.99
