@@ -104,12 +104,16 @@ def connected_components(
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     if catalog is not None and catalog.exists(checkpoint_table):
         cur = catalog.read(checkpoint_table)
-    cur = cur.localCheckpoint(eager=True)
+    # lazy localCheckpoint: the signature aggregation right after is the
+    # materializing action, so each round costs ONE job (an eager
+    # checkpoint would add a second full pass — pure serial driver time
+    # multiplied by the iteration count)
+    cur = cur.localCheckpoint(eager=False)
     prev_sig = _signature(cur)
 
     for it in range(max_iterations):
         nxt = small_star(large_star(cur))
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=False)
         sig = _signature(nxt)
         if catalog is not None and (it + 1) % checkpoint_every == 0:
             catalog.write(checkpoint_table, nxt, mode="overwrite")
