@@ -328,8 +328,10 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_embedding_near_dup(spark, sf):
+    # OR-amplified SRP LSH; (planes_per_band, n_bands) auto-sized for
+    # ≥95% recall at the cosine threshold (srp_band_params)
     emb = _t(spark, sf, "embeddings")
-    return DD.embedding_near_duplicates(emb, dim=64, min_cosine=0.35, n_planes=8).select(
+    return DD.embedding_near_duplicates(emb, dim=64, min_cosine=0.35).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
 
@@ -567,7 +569,7 @@ WITH docs AS (
     list_distinct(list_transform(
       range(1, greatest(len(toks) - 2, 1) + 1),
       i -> array_to_string(toks[i:i+2], ' '))) AS grams
-  FROM docs
+  FROM docs WHERE len(toks) > 0
 ), e AS (
   SELECT id, unnest([{_NGRAM_BANDS_SQL}]) AS bucket FROM g
 ), pair_ids AS (
@@ -656,13 +658,16 @@ def oracle_sql() -> dict[str, str]:
             f"round(avg(score), 6) AS mean_score FROM ({_ROUTE_SQL}) GROUP BY decision"
         ),
         "quality_gates": (
+            # DuckDB sum(CASE...) yields HUGEINT (int128) which the
+            # driver's canonicalization renders differently than Spark's
+            # BIGINT — cast every aggregate to the Spark-side type
             f"WITH r AS ({_ROUTE_SQL}), agg AS ("
-            "SELECT count(*) AS total, "
-            "sum(CASE WHEN decision = 'gray' THEN 1 ELSE 0 END) AS gray, "
-            "sum(CASE WHEN decision = 'rejected' THEN 1 ELSE 0 END) AS rejected "
+            "SELECT count(*)::BIGINT AS total, "
+            "sum(CASE WHEN decision = 'gray' THEN 1 ELSE 0 END)::BIGINT AS gray, "
+            "sum(CASE WHEN decision = 'rejected' THEN 1 ELSE 0 END)::BIGINT AS rejected "
             "FROM r) "
             "SELECT total, gray, round(gray::DOUBLE / total, 6) AS gray_rate, "
-            "gray::DOUBLE / total <= 0.35 AS gate_passed FROM agg"
+            "CAST(gray::DOUBLE / total <= 0.35 AS BOOLEAN) AS gate_passed FROM agg"
         ),
         "zscore_anomaly": (
             "WITH daily AS (SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day, "

@@ -73,12 +73,20 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample.
 
-    The sample is chosen by hash order (not random split) so training
-    is reproducible across cluster sizes; nlist centroids is driver-side
-    metadata (KBs), broadcast implicitly via UDF closure."""
+    The sample is a deterministic hash FILTER (reproducible across
+    cluster sizes and partitionings), not a global sort: the round-1
+    ``orderBy(xxhash64).limit(n)`` formulation sorted the ENTIRE corpus
+    to pick 4 096 rows — a full-shuffle scale-killer at 100 TB.  The
+    filter keeps ~sample rows; only that survivor set is sorted (tiny)
+    so the final pick stays deterministic.  nlist centroids are
+    driver-side metadata (KBs), broadcast implicitly via UDF closure."""
+    h = F.xxhash64(F.col(vec_col).cast("string"))
+    n_total = corpus.count()  # columnar count — no shuffle, no sort
+    modulus = max(1, n_total // sample)
     rows = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        corpus.select(F.col(vec_col).alias("v"), h.alias("h"))
+        .filter(F.pmod(F.col("h"), F.lit(modulus)) == 0)
+        .orderBy("h")
         .limit(sample)
         .collect()
     )

@@ -78,7 +78,9 @@ def exact_candidates(normalized: DataFrame) -> DataFrame:
     )
 
 
-def lsh_blocks(normalized: DataFrame, cfg: BlockingConfig) -> DataFrame:
+def lsh_blocks(
+    normalized: DataFrame, cfg: BlockingConfig, caches: list | None = None
+) -> DataFrame:
     """normalized_pages → (block_key, url) LSH band membership.
 
     Shingling/base-hashing is JVM; signature + banding is ONE fused
@@ -98,6 +100,8 @@ def lsh_blocks(normalized: DataFrame, cfg: BlockingConfig) -> DataFrame:
     banded = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
     ).select(*cols, band_udf(th).alias("band_arr")).persist()
+    if caches is not None:
+        caches.append(banded)
     exploded = banded.select(*cols, F.explode("band_arr").alias("band_hash"))
     if cfg.compose_domain:
         # composite blocking key (north_star): domain + LSH band
@@ -109,15 +113,23 @@ def lsh_blocks(normalized: DataFrame, cfg: BlockingConfig) -> DataFrame:
 
 def split_oversized_blocks(
     members: DataFrame, cfg: BlockingConfig
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Bound block sizes: blocks ≤ max_block_size pass through; larger
     blocks are split by url-hash into ceil(size/max) sub-blocks, and
-    each sub-block's representative (min url) joins a rep-level block
-    so the pieces stay transitively connected.
+    the sub-block representatives (each sub-block's min url) are
+    star-linked to the block's global minimum so the pieces stay
+    transitively connected.  A star (not an all-pairs rep block) keeps
+    the bound: a 10^6-copy page with max=64 yields ~15 625 reps —
+    all-pairs over them would be ~1.2e8 pairs from ONE block, while the
+    star adds exactly n_subblocks-1 edges (connectivity is all the
+    clustering stage needs, mirroring exact_candidates).
 
-    Returns (bounded_members, block_stats) where block_stats reports
-    every split block (key, size, n_subblocks) — the no-silent-caps
-    ledger.
+    Returns (bounded_members, rep_edges, block_stats):
+    - bounded_members: (block_key, url), every block ≤ max_block_size
+    - rep_edges: ready candidate edges (url_a, url_b, block_key,
+      strategy='lsh') linking each split block's reps to its min url
+    - block_stats reports every split block (key, size, n_subblocks) —
+      the no-silent-caps ledger.
 
     Skew-aware plan: block sizes come from a partial-aggregated
     groupBy; only OVERSIZED keys (a tiny set — the Zipf head) are
@@ -150,10 +162,22 @@ def split_oversized_blocks(
         "url",
     )
     # within sub-block s, ranks are {s+1, s+1+n_sub, ...} (url-ordered),
-    # so rank ≤ n_sub ⇔ this row is its sub-block's minimal url
-    reps = big.filter(F.col("rn") <= n_sub).select(
-        F.concat(F.lit("rep#"), F.col("block_key").cast("string")).alias("block_key"),
-        "url",
+    # so rank ≤ n_sub ⇔ this row is its sub-block's minimal url; rank 1
+    # is the block's global minimum (sub-block 0's rep) — the star root
+    roots = big.filter(F.col("rn") == 1).select(
+        "block_key", F.col("url").alias("root")
+    )
+    rep_edges = (
+        big.filter((F.col("rn") > 1) & (F.col("rn") <= n_sub))
+        .join(roots, "block_key")
+        .select(
+            F.col("root").alias("url_a"),  # root is the min url: a < b holds
+            F.col("url").alias("url_b"),
+            F.concat(F.lit("rep#"), F.col("block_key").cast("string")).alias(
+                "block_key"
+            ),
+            F.lit("lsh").alias("strategy"),
+        )
     )
     stats = (
         big.filter(F.col("rn") == 1)
@@ -164,11 +188,11 @@ def split_oversized_blocks(
             "n_subblocks",
         )
     )
-    return small.unionByName(sub_members).unionByName(reps), stats
+    return small.unionByName(sub_members), rep_edges, stats
 
 
 def lsh_candidates(
-    normalized: DataFrame, cfg: BlockingConfig
+    normalized: DataFrame, cfg: BlockingConfig, caches: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """MinHash-LSH candidate pairs + block-split stats.
 
@@ -178,16 +202,21 @@ def lsh_candidates(
     membership is tiny relative to the corpus (url + band hash), so
     persisting it is the cheap side of that trade — the cluster-scale
     pipeline additionally snapshots candidates to the catalog between
-    stages."""
-    blocks = lsh_blocks(normalized, cfg)  # persists pre-explode internally
-    members, stats = split_oversized_blocks(blocks, cfg)
+    stages.  ``caches`` (when given) collects every frame persisted
+    here so the caller can unpersist once candidates are materialized —
+    otherwise the caches outlive the blocking stage and pressure
+    executor storage across pipeline runs."""
+    blocks = lsh_blocks(normalized, cfg, caches)  # persists pre-explode internally
+    members, rep_edges, stats = split_oversized_blocks(blocks, cfg)
     members = members.persist()
-    pairs = _pairs_within_blocks(members, "lsh")
+    if caches is not None:
+        caches.append(members)
+    pairs = _pairs_within_blocks(members, "lsh").unionByName(rep_edges)
     return pairs, stats
 
 
 def candidate_pairs(
-    normalized: DataFrame, cfg: BlockingConfig
+    normalized: DataFrame, cfg: BlockingConfig, caches: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Union of blocking strategies, deduped on (url_a, url_b).
 
@@ -198,7 +227,7 @@ def candidate_pairs(
     picks 'exact' deterministically).
     """
     exact = exact_candidates(normalized)
-    lsh, stats = lsh_candidates(normalized, cfg)
+    lsh, stats = lsh_candidates(normalized, cfg, caches)
     pairs = (
         exact.unionByName(lsh)
         .groupBy("url_a", "url_b")

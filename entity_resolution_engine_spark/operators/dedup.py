@@ -63,6 +63,82 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bounded bucket self-join (shared by the LSH-style candidate paths)
+# ---------------------------------------------------------------------------
+
+def bounded_bucket_pairs(
+    members: DataFrame,
+    max_bucket_size: int = 2000,
+    stats_out: list | None = None,
+) -> DataFrame:
+    """(bucket, id) membership → deduped candidate (id_a < id_b) pairs,
+    with hot buckets split into bounded sub-buckets.
+
+    Same scale discipline as blocking.split_oversized_blocks: a hot
+    bucket (e.g. thousands of identical boilerplate docs sharing every
+    band, or a degenerate shingle) would otherwise produce O(k²) pairs.
+    Buckets ≤ max_bucket_size self-join directly; larger buckets are
+    split round-robin by id-rank into ceil(k/max) sub-buckets
+    (all-pairs within each) and the sub-bucket minima are star-linked
+    so near-dup verification still sees cross-sub-bucket candidates.
+    Only the (tiny) hot-key set pays a sort; the long tail passes with
+    no window.  ``stats_out`` (a list, when given) receives the split
+    ledger DataFrame (bucket, bucket_size, n_subbuckets) — the
+    no-silent-caps record for callers that materialize it."""
+    # the membership is referenced by the hot-bucket count, both split
+    # branches, and the rep join — persist it or the (expensive)
+    # band/gram projections feeding it are recomputed per reference
+    members = members.persist()
+    hot = F.broadcast(
+        members.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+    tagged = members.join(hot, "bucket", "left")
+    small = tagged.filter(F.col("bucket_size").isNull()).select(
+        F.col("bucket").cast("string").alias("bucket"), "id"
+    )
+    rank_w = Window.partitionBy("bucket").orderBy("id")
+    big = tagged.filter(F.col("bucket_size").isNotNull()).withColumn(
+        "rn", F.row_number().over(rank_w)
+    )
+    n_sub = F.ceil(F.col("bucket_size") / max_bucket_size).cast("long")
+    sub = big.select(
+        F.concat_ws(
+            "#", F.col("bucket").cast("string"), F.pmod(F.col("rn") - 1, n_sub)
+        ).alias("bucket"),
+        "id",
+    )
+    # rank ≤ n_sub ⇔ sub-bucket minimum; rank 1 is the global minimum
+    roots = big.filter(F.col("rn") == 1).select("bucket", F.col("id").alias("root"))
+    rep_pairs = (
+        big.filter((F.col("rn") > 1) & (F.col("rn") <= n_sub))
+        .join(roots, "bucket")
+        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    if stats_out is not None:
+        stats_out.append(
+            big.filter(F.col("rn") == 1)
+            .withColumn("n_subbuckets", n_sub)
+            .select(
+                F.col("bucket").cast("string").alias("bucket"),
+                "bucket_size",
+                "n_subbuckets",
+            )
+        )
+    bounded = small.unionByName(sub)
+    a = bounded.select("bucket", F.col("id").alias("id_a"))
+    b = bounded.select("bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .unionByName(rep_pairs)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -74,6 +150,7 @@ def minhash_near_duplicates(
     min_jaccard: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) for near-duplicate pairs.
 
@@ -99,16 +176,9 @@ def minhash_near_duplicates(
     sig = sig.persist()
     bands_df = sig.select(
         "id",
-        F.explode(H.lsh_band_hashes_col(F.col("sig"), bands, rows)).alias("band"),
+        F.explode(H.lsh_band_hashes_col(F.col("sig"), bands, rows)).alias("bucket"),
     )
-    a = bands_df.select(F.col("band"), F.col("id").alias("id_a"))
-    b = bands_df.select(F.col("band"), F.col("id").alias("id_b"))
-    pair_ids = (
-        a.join(b, "band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pair_ids = bounded_bucket_pairs(bands_df, max_bucket_size=max_bucket_size)
     pairs = pair_ids.join(
         sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(
@@ -149,6 +219,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -157,7 +228,10 @@ def simhash_near_duplicates(
     pair within distance max_hamming agrees exactly on at least one
     block, so candidates = equi-join per block.  Hamming distance is
     then verified with bit_count(xor) — pure JVM."""
-    sigs = simhash_signatures(documents, id_col, text_col)
+    # the block self-join references the signature frame on BOTH sides —
+    # without persist Catalyst evaluates the simhash pandas UDF twice
+    # (same pitfall as lsh_blocks; caller/bench clears the cache)
+    sigs = simhash_signatures(documents, id_col, text_col).persist()
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = F.array(
@@ -171,27 +245,25 @@ def simhash_near_duplicates(
             for i in range(nblocks)
         ]
     )
+    # ids-only through the candidate shuffle (bounded buckets), then
+    # re-attach the two 64-bit signatures for the Hamming verify
     exploded = sigs.select(
-        "id", "simhash", F.explode(blocks).alias("b")
-    ).select("id", "simhash", "b.block_idx", "b.block_val")
-    a = exploded.select(
-        "block_idx",
-        "block_val",
-        F.col("id").alias("id_a"),
-        F.col("simhash").alias("sim_a"),
+        "id", F.explode(blocks).alias("b")
+    ).select(
+        F.concat_ws(
+            "|", F.col("b.block_idx").cast("string"), F.col("b.block_val").cast("string")
+        ).alias("bucket"),
+        "id",
     )
-    b = exploded.select(
-        "block_idx",
-        "block_val",
-        F.col("id").alias("id_b"),
-        F.col("simhash").alias("sim_b"),
+    pair_ids = bounded_bucket_pairs(exploded, max_bucket_size=max_bucket_size)
+    pairs = pair_ids.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")), "id_a"
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")), "id_b"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b, ["block_idx", "block_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -208,6 +280,7 @@ def ngram_jaccard_pairs(
     num_bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard within min-gram-hash blocks.
 
@@ -220,7 +293,12 @@ def ngram_jaccard_pairs(
     almost never collide, so the block self-join stays near-linear.
     Similarity is array_intersect/array_union — fully JVM codegen."""
     tokens = H.tokens_col(F.lower(F.col(text_col)))
-    docs = documents.select(F.col(id_col).alias("id"), tokens.alias("toks"))
+    # empty/whitespace-only docs would all share the '' gram and pair
+    # off at jaccard 1.0 — drop them before banding (mirrored in the
+    # DuckDB oracle)
+    docs = documents.select(F.col(id_col).alias("id"), tokens.alias("toks")).filter(
+        F.size("toks") > 0
+    )
     ngrams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
@@ -241,16 +319,9 @@ def ngram_jaccard_pairs(
             for b in range(num_bands)
         ]
     )
-    exploded = docs.select("id", "grams", F.explode(bands).alias("bucket"))
+    exploded = docs.select("id", F.explode(bands).alias("bucket"))
     docs = docs.persist()
-    a = exploded.select("bucket", F.col("id").alias("id_a"))
-    b = exploded.select("bucket", F.col("id").alias("id_b"))
-    pair_ids = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pair_ids = bounded_bucket_pairs(exploded, max_bucket_size=max_bucket_size)
     pairs = pair_ids.join(
         docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
         "id_a",
@@ -282,27 +353,55 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def make_srp_udf(dim: int, n_planes: int = 12):
-    """Signed-random-projection bucket id (Charikar, STOC'02 — public):
-    sign pattern of n_planes dot products → integer bucket."""
+def srp_band_params(
+    min_cosine: float,
+    target_recall: float = 0.95,
+    max_bands: int = 32,
+    max_planes: int = 16,
+) -> tuple[int, int]:
+    """(planes_per_band, n_bands) for OR-amplified SRP LSH.
 
-    planes = _hyperplanes(dim, n_planes)
+    Per Charikar (STOC'02), two vectors at angle θ agree on one
+    hyperplane sign with p = 1 − θ/π.  An AND-only bucket of r planes
+    has recall p^r — at min_cosine 0.35 and r = 8 that is ~2%, which is
+    the round-1 recall bug.  OR-amplification over b band tables gives
+    recall 1 − (1 − p^r)^b at the threshold; this picks the LARGEST r
+    (most selective buckets → smallest candidate blocks) whose required
+    b = ln(1−target)/ln(1−p^r) still fits max_bands."""
+    p = 1.0 - float(np.arccos(np.clip(min_cosine, -1.0, 1.0))) / np.pi
+    for r in range(max_planes, 0, -1):
+        miss = 1.0 - p**r
+        if miss <= 0.0:
+            return r, 1
+        b = int(np.ceil(np.log(1.0 - target_recall) / np.log(miss)))
+        if b <= max_bands:
+            return r, max(b, 1)
+    return 1, max_bands
 
-    @F.pandas_udf(T.LongType())
-    def srp_udf(emb: pd.Series) -> pd.Series:
+
+def make_srp_bands_udf(dim: int, planes_per_band: int, n_bands: int):
+    """embedding → array of n_bands bucket ids: ONE matmul against all
+    n_bands·planes_per_band hyperplanes per Arrow batch, sign bits
+    packed per band, band index mixed in so buckets never collide
+    across bands."""
+    planes = _hyperplanes(dim, n_bands * planes_per_band)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+    band_offsets = np.arange(n_bands, dtype=np.int64) << np.int64(planes_per_band)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def srp_bands_udf(emb: pd.Series) -> pd.Series:
         mat = np.stack(
             [
-                np.asarray(e, dtype=np.float64)
-                if e is not None
-                else np.zeros(dim)
+                np.asarray(e, dtype=np.float64) if e is not None else np.zeros(dim)
                 for e in emb
             ]
         )
-        signs = (mat @ planes.T) > 0
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        return pd.Series((signs @ weights).astype(np.int64))
+        signs = (mat @ planes.T) > 0  # (n, b*r)
+        bits = signs.reshape(len(mat), n_bands, planes_per_band) @ weights
+        buckets = bits.astype(np.int64) + band_offsets
+        return pd.Series(list(buckets))
 
-    return srp_udf
+    return srp_bands_udf
 
 
 def cosine_sim_col(a: F.Column, b: F.Column) -> F.Column:
@@ -320,25 +419,40 @@ def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,
     min_cosine: float = 0.95,
-    n_planes: int = 12,
+    planes_per_band: int | None = None,
+    n_bands: int | None = None,
+    target_recall: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) pairs with cosine ≥ min_cosine, candidates
-    bucketed by SRP sign pattern.  n_planes trades recall (hyperplane
-    cuts between near-identical vectors are rare: P(cut) = θ/π per
-    plane) against bucket size."""
-    srp = make_srp_udf(dim, n_planes)
+    """(id_a, id_b, cosine) pairs with cosine ≥ min_cosine.
+
+    Candidates come from OR-amplified SRP LSH: b band tables of r
+    hyperplane-sign bits each (auto-sized from min_cosine via
+    ``srp_band_params`` for ≥ target_recall at the threshold, unless
+    given explicitly); a pair qualifies as a candidate if it shares ANY
+    band bucket, mirroring ``minhash_near_duplicates``.  Every
+    candidate is then verified with the exact JVM cosine, so precision
+    is 1.0 — the LSH only bounds recall, and the (r, b) choice bounds
+    that at target_recall.  Candidate generation ships ids only; the
+    dim-sized vectors join back for the verify step."""
+    if planes_per_band is None or n_bands is None:
+        planes_per_band, n_bands = srp_band_params(min_cosine, target_recall)
+    srp = make_srp_bands_udf(dim, planes_per_band, n_bands)
     vecs = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("bucket", srp(F.col("v")))
-    a = vecs.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = vecs.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    ).withColumn("buckets", srp(F.col("v"))).persist()
+    members = vecs.select("id", F.explode("buckets").alias("bucket")).select(
+        "bucket", "id"
+    )
+    pair_ids = bounded_bucket_pairs(members, max_bucket_size=max_bucket_size)
+    pairs = pair_ids.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_sim_col(F.col("v_a"), F.col("v_b")))
+        pairs.withColumn("cosine", cosine_sim_col(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

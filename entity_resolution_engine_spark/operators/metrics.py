@@ -162,9 +162,16 @@ def triage_report(
     reference's deterministic fallback formatter (llm_triage.py:32-49);
     an LLM rewrite would plug in where the summary string is built.
     """
+    # explicit severity rank — a lexicographic desc sort would put
+    # MEDIUM above HIGH ('M' > 'H') and misreport max_severity
+    sev_rank = (
+        F.when(F.col("severity") == "HIGH", 2)
+        .when(F.col("severity") == "MEDIUM", 1)
+        .otherwise(0)
+    )
     anoms = (
         anomalies.filter(F.col("run_id") == run_id)
-        .orderBy(F.desc("severity"), F.desc(F.abs(F.col("z_score"))))
+        .orderBy(sev_rank.desc(), F.desc(F.abs(F.col("z_score"))))
         .collect()
     )
     samples = []

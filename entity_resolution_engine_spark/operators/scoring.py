@@ -46,18 +46,32 @@ def score_pairs(
         F.col("lang").alias("lang_b"),
     )
     enriched = candidates.join(a, "url_a").join(b, "url_b")
+    # exact-strategy pairs are byte-identical on norm_text by
+    # construction, so every feature is 1.0 — don't pay the Arrow
+    # transfer + Python compute for a known answer (on a boilerplate-
+    # heavy corpus exact pairs dominate).  Nulling the UDF inputs keeps
+    # the plan single-pass (no candidates re-scan per strategy branch);
+    # the UDF sees "" for those rows and the features are overridden by
+    # the constant below.
+    is_exact = F.col("strategy") == "exact"
+    norm_a_in = F.when(~is_exact, F.col("norm_a"))
+    norm_b_in = F.when(~is_exact, F.col("norm_b"))
+
+    def _feat(name: str) -> F.Column:
+        return F.when(is_exact, F.lit(1.0)).otherwise(F.col(f"f.{name}")).alias(name)
+
     feats = enriched.withColumn(
-        "f", pair_features_udf(F.col("norm_a"), F.col("norm_b"))
+        "f", pair_features_udf(norm_a_in, norm_b_in)
     ).select(
         "url_a",
         "url_b",
         "strategy",
         "lang_a",
         "lang_b",
-        F.col("f.jaro_winkler").alias("jaro_winkler"),
-        F.col("f.token_jaccard").alias("token_jaccard"),
-        F.col("f.levenshtein_sim").alias("levenshtein_sim"),
-        F.col("f.length_ratio").alias("length_ratio"),
+        _feat("jaro_winkler"),
+        _feat("token_jaccard"),
+        _feat("levenshtein_sim"),
+        _feat("length_ratio"),
     )
     raw = (
         cfg.w_jaro_winkler * F.col("jaro_winkler")
@@ -65,9 +79,6 @@ def score_pairs(
         + cfg.w_levenshtein * F.col("levenshtein_sim")
         + cfg.w_length_ratio * F.col("length_ratio")
     )
-    # exact-strategy pairs are byte-identical on norm_text by
-    # construction — short-circuit them to score 1.0 (no UDF cost
-    # dominates; the features still flow for observability)
     scored = feats.withColumn(
         "score",
         F.when(F.col("strategy") == "exact", F.lit(1.0)).otherwise(

@@ -53,7 +53,10 @@ def resolve_documents(
     # tiny corpora (sf0.001) still need the UDF-bearing plan to be
     # evaluated twice (blocking + scoring) — cache the normalized side
     normalized = normalized.cache()
-    pairs, _split_stats = candidate_pairs(normalized, config.blocking)
+    # NOTE: normalized itself stays cached — the returned assignments
+    # still reference it lazily (the all_nodes singleton branch)
+    caches: list = []
+    pairs, _split_stats = candidate_pairs(normalized, config.blocking, caches=caches)
     scored = score_pairs(pairs, normalized, config.scoring)
     routed = route_pairs(scored, config.scoring, run_id="flagship")
     edges = routed.filter(F.col("routed_status") == "approved").select(
@@ -65,6 +68,11 @@ def resolve_documents(
         max_iterations=config.cc_max_iterations,
         checkpoint_every=config.cc_checkpoint_every,
     )
+    # CC's localCheckpoint rounds materialized the edge set, so the
+    # returned assignments no longer reference the blocking plans —
+    # those caches are safe to release here
+    for c in caches:
+        c.unpersist()
     sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     return assignments.join(sizes, "cluster_id").select(
         "url", "cluster_id", "n_members"

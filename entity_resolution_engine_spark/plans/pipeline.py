@@ -114,9 +114,16 @@ class Pipeline:
 
         # -- block ------------------------------------------------------------
         def _block():
-            pairs, split_stats = candidate_pairs(normalized, self.cfg.blocking)
+            caches: list = []
+            pairs, split_stats = candidate_pairs(
+                normalized, self.cfg.blocking, caches=caches
+            )
             cat.write(self._t(run_id, "candidates"), pairs)
             cat.write(self._t(run_id, "block_splits"), split_stats)
+            # the candidates snapshot is committed — the blocking caches
+            # are dead weight from here on (ADVICE: persist hygiene)
+            for c in caches:
+                c.unpersist()
 
         run_stage("block", _block)
         candidates = cat.read(self._t(run_id, "candidates"))

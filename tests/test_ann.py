@@ -59,3 +59,42 @@ def test_ivf_recall_vs_brute_force(spark, vectors):
     ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     recall = len(bf_set & ivf_set) / len(bf_set)
     assert recall >= 0.5, recall  # nprobe=4 of 8 cells on random data
+
+
+def test_ivf_recall_at_5_on_clustered_data(spark):
+    """VERDICT item 5: recall@5 ≥ 0.9 at nprobe=4 vs brute force.
+    Clustered vectors (the realistic embedding regime IVF targets —
+    uniform noise is the adversarial case covered above)."""
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 8, 50, DIM
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    mat = np.concatenate(
+        [c + rng.standard_normal((per_cluster, dim)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))], ["vec_id", "embedding"]
+    ).cache()
+    df.count()
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = brute_force_topk(df, queries, k=5)
+    ivf = ivf_topk(df, queries, dim=dim, k=5, nlist=8, nprobe=4)
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.9, recall
+    df.unpersist()
+
+
+def test_ivf_training_has_no_global_sort(spark, vectors):
+    """The centroid sample comes from a hash FILTER (scan + tiny sort of
+    ~sample survivors), never a full-corpus orderBy — assert the sample
+    is deterministic and bounded without checking plan internals by
+    running it twice on differently-partitioned input."""
+    from entity_resolution_engine_spark.operators.ann import train_centroids
+
+    df, _ = vectors
+    c1 = train_centroids(df, DIM, nlist=8, sample=64)
+    c2 = train_centroids(df.repartition(7), DIM, nlist=8, sample=64)
+    assert np.allclose(c1, c2)

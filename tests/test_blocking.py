@@ -42,14 +42,18 @@ def test_split_bounds_block_size(spark):
         [("hot", f"u{i:03d}") for i in range(50)] + [("cold", "x1"), ("cold", "x2")],
         ["block_key", "url"],
     )
-    bounded, stats = split_oversized_blocks(members, cfg)
+    bounded, rep_edges, stats = split_oversized_blocks(members, cfg)
     sizes = bounded.groupBy("block_key").count().collect()
     assert max(r["count"] for r in sizes) <= 8
     st = stats.collect()
     assert len(st) == 1 and st[0].block_key == "hot" and st[0].block_size == 50
-    # connectivity: reps block re-links every sub-block
-    rep_rows = bounded.filter(F.col("block_key").startswith("rep#")).count()
-    assert rep_rows == st[0].n_subblocks
+    # connectivity: a star of n_subblocks-1 edges links every sub-block
+    # rep to the block minimum (NOT an all-pairs rep block — that would
+    # be quadratic in n_subblocks for a mega-block)
+    reps = rep_edges.collect()
+    assert len(reps) == st[0].n_subblocks - 1
+    assert all(e.url_a == "u000" for e in reps)  # root = global min url
+    assert all(e.url_a < e.url_b for e in reps)
 
 
 def test_blocking_recall_on_planted_clusters(spark, synth_corpus, normalized):

@@ -68,6 +68,52 @@ def test_embedding_near_duplicates(spark):
         (4, (-base).tolist()),  # anti-correlated — never a near-dup
     ]
     emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    pairs = {(r.id_a, r.id_b): r.cosine for r in DD.embedding_near_duplicates(emb, dim=16, min_cosine=0.95, n_planes=6).collect()}
+    pairs = {(r.id_a, r.id_b): r.cosine for r in DD.embedding_near_duplicates(emb, dim=16, min_cosine=0.95).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_srp_band_params_recall_math():
+    import numpy as np
+
+    for min_cos in (0.35, 0.6, 0.9):
+        r, b = DD.srp_band_params(min_cos, target_recall=0.95)
+        p = 1.0 - np.arccos(min_cos) / np.pi
+        recall_at_threshold = 1.0 - (1.0 - p**r) ** b
+        assert recall_at_threshold >= 0.95, (min_cos, r, b, recall_at_threshold)
+        assert b <= 32
+
+
+def test_embedding_near_dup_recall_vs_brute_force(spark):
+    """VERDICT round-1 bug: AND-only SRP at min_cosine=0.35 retrieved
+    ~2% of qualifying pairs.  With OR-amplification measured recall vs
+    the exact all-pairs ground truth must be ≥ 0.95."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n = 24, 300
+    base = rng.standard_normal((n // 3, dim))
+    # three correlated variants of each base vector → plenty of pairs
+    # above the low threshold, plus background noise vectors
+    vecs = np.concatenate(
+        [base + 0.8 * rng.standard_normal((n // 3, dim)) for _ in range(3)]
+    )
+    rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(len(vecs), k=1)
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.35], iu[1][sims[iu] >= 0.35])
+    }
+    assert len(truth) > 50  # the test must be non-trivial
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.embedding_near_duplicates(emb, dim=dim, min_cosine=0.35).collect()
+    }
+    assert got <= truth  # exact cosine verify ⇒ precision 1.0
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(truth)} true pairs"
