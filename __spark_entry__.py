@@ -447,13 +447,18 @@ def q_media_frames(spark, sf):
 
 def q_windowed_page_metrics(spark, sf):
     # streaming windowed-agg plan, exercised on the batch frame (same
-    # expressions run under readStream with the watermark)
+    # expressions run under readStream with the watermark);
+    # exact_domains swaps the HLL++ sketch for countDistinct so the
+    # DuckDB oracle can value-check every column (the sketch itself is
+    # approximate even at 20 domains — unoracleable by construction)
     from entity_resolution_engine_spark.plans.flagship import documents_as_pages
     from entity_resolution_engine_spark.streaming.incremental import (
         windowed_page_metrics,
     )
 
-    return windowed_page_metrics(documents_as_pages(_t(spark, sf, "documents")))
+    return windowed_page_metrics(
+        documents_as_pages(_t(spark, sf, "documents")), exact_domains=True
+    )
 
 
 # --- flagship (rows-only) -------------------------------------------------------
@@ -461,6 +466,23 @@ def q_windowed_page_metrics(spark, sf):
 def q_er_resolve_documents(spark, sf):
     docs = _t(spark, sf, "documents")
     return resolve_documents(spark, docs)
+
+
+def q_er_resolve_exact(spark, sf):
+    # The flagship resolve in its exact-only blocking configuration:
+    # normalize → md5 star edges → route → connected components.  The
+    # cluster assignment equals min(url) over each md5(norm_text) group
+    # (empty-norm docs are singletons), which a DuckDB window query can
+    # reproduce — this value-checks the whole normalize/block/route/CC
+    # spine end-to-end, not just row counts.
+    from entity_resolution_engine_spark.config import (
+        BlockingConfig,
+        PipelineConfig,
+    )
+
+    cfg = PipelineConfig(blocking=BlockingConfig(strategies=("exact",)))
+    docs = _planted_dup_documents(spark, sf)
+    return resolve_documents(spark, docs, config=cfg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -498,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "windowed_page_metrics": q_windowed_page_metrics,
         "er_resolve_documents": q_er_resolve_documents,
+        "er_resolve_exact": q_er_resolve_exact,
     }
 
 
@@ -748,6 +771,36 @@ def oracle_sql() -> dict[str, str]:
             "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q "
             "  WHERE c.vec_id != q.vec_id"
             ") WHERE rank <= 5"
+        ),
+        "windowed_page_metrics": (
+            # tumbling 1h event-time window = epoch-floor bucketing;
+            # warc_ts and domain reproduce documents_as_pages exactly
+            # (warc_ts = 1577836800 + doc_id; domain of
+            # doc://<source>/<id> = lower(source))
+            "WITH pages AS (SELECT doc_id, lang, lower(source) AS domain, "
+            "  (1577836800 + doc_id) // 3600 * 3600 AS win_epoch FROM documents) "
+            "SELECT make_timestamp(win_epoch * 1000000) AS window_start, "
+            "make_timestamp((win_epoch + 3600) * 1000000) AS window_end, "
+            "lang, count(*)::BIGINT AS n_pages, "
+            "count(DISTINCT domain)::BIGINT AS n_domains "
+            "FROM pages GROUP BY win_epoch, lang"
+        ),
+        "er_resolve_exact": (
+            # exact-only flagship: cluster_id = min(url) within each
+            # md5(norm_text) group; empty-norm docs are singletons.
+            # norm_text reproduces normalize_text (the byte-identity
+            # contract pinned by the normalize_match_key oracle);
+            # canonical_text's whitespace collapse is absorbed by it.
+            f"WITH docs AS ({_PLANTED_DUP_SQL}), pages AS ("
+            "SELECT 'doc://' || source || '/' || doc_id AS url, "
+            "  trim(regexp_replace(regexp_replace(lower(trim(text)), "
+            "    '[^0-9A-Za-z_\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text "
+            "FROM docs), assigned AS ("
+            "SELECT url, CASE WHEN norm_text = '' THEN url "
+            "  ELSE min(url) OVER (PARTITION BY md5(norm_text)) END AS cluster_id "
+            "FROM pages) "
+            "SELECT url, cluster_id, "
+            "count(*) OVER (PARTITION BY cluster_id) AS n_members FROM assigned"
         ),
         # minhash_near_dup / simhash_near_dup / embedding_near_dup /
         # ann_ivf / doc_fingerprints / er_resolve_documents: engine-side

@@ -24,6 +24,12 @@ class BlockingConfig:
     split is logged, so a hot band key cannot explode the pair count.
     """
 
+    # which candidate strategies to compose (SURVEY §4.1): "exact" is
+    # the md5 star; "lsh" the MinHash band join.  An exact-only config
+    # turns the resolve into pure transitive exact-dedup — which is
+    # also the SQL-expressible configuration the driver's
+    # er_resolve_exact oracle checks end-to-end.
+    strategies: tuple = ("exact", "lsh")
     shingle_size: int = 2           # word n-gram shingles
     num_hashes: int = 192           # MinHash signature length
     lsh_bands: int = 48
@@ -69,6 +75,12 @@ class ScoringConfig:
     fallback_mode: str = "auto_approve"  # gray-zone fallback when LLM disabled
     llm_enabled: bool = False
     max_llm_calls_per_run: int = 200
+    # conflict-flag knobs (router.conflict_flags — the J11 adapter
+    # signals).  domain_mismatch defaults OFF: web boilerplate clones
+    # legitimately cross domains (the synth corpus plants ~20% such).
+    max_warc_ts_gap_days: float = 365.0
+    min_length_ratio: float = 0.3
+    flag_domain_mismatch: bool = False
 
 
 @dataclass(frozen=True)

@@ -226,10 +226,27 @@ def candidate_pairs(
     highest-precision provenance (exact < lsh lexicographically — min
     picks 'exact' deterministically).
     """
-    exact = exact_candidates(normalized)
-    lsh, stats = lsh_candidates(normalized, cfg, caches)
+    parts = []
+    stats = None
+    if "exact" in cfg.strategies:
+        parts.append(exact_candidates(normalized))
+    if "lsh" in cfg.strategies:
+        lsh, stats = lsh_candidates(normalized, cfg, caches)
+        parts.append(lsh)
+    if not parts:
+        raise ValueError(f"no known blocking strategies in {cfg.strategies!r}")
+    if stats is None:  # exact-only: empty split ledger, same schema
+        stats = normalized.sparkSession.createDataFrame(
+            [], "block_key string, block_size long, n_subblocks long"
+        )
+    if len(parts) == 1:
+        if "lsh" in cfg.strategies:
+            # a pair can surface from several band buckets — dedup it
+            return parts[0].dropDuplicates(["url_a", "url_b"]), stats
+        # exact star edges are unique by construction — no shuffle
+        return parts[0], stats
     pairs = (
-        exact.unionByName(lsh)
+        parts[0].unionByName(parts[1])
         .groupBy("url_a", "url_b")
         .agg(
             F.min("strategy").alias("strategy"),

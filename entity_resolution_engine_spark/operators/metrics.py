@@ -203,6 +203,53 @@ def triage_report(
     }
 
 
+def build_quality_report(
+    run_metrics: DataFrame,
+    anomalies: DataFrame,
+    reviews: DataFrame | None,
+    run_id: str,
+) -> dict:
+    """O4 analog — the reference's combined quality report
+    (/root/reference/entity_resolution_engine/qa/quality_report.py:9-55):
+    one run-scoped snapshot joining pipeline metrics, anomaly events,
+    and review counts by status.
+
+    All three inputs are small observability tables; the per-run slices
+    collected here are O(stages + anomalies + statuses) rows — driver-
+    side assembly matches the reference's dict-shaped payload exactly.
+    The pipeline's observe stage persists the JSON form to the
+    ``quality_reports`` catalog table."""
+    metrics_rows = [
+        r.asDict()
+        for r in run_metrics.filter(
+            (F.col("run_id") == run_id) & F.col("partition_id").isNull()
+        )
+        .select("stage", "metric", "value")
+        .collect()
+    ]
+    anomaly_rows = [
+        r.asDict()
+        for r in anomalies.filter(F.col("run_id") == run_id)
+        .select("metric", "value", "baseline_mean", "baseline_stddev", "z_score", "severity")
+        .collect()
+    ]
+    review_counts: dict[str, int] = {}
+    if reviews is not None:
+        for r in (
+            reviews.filter(F.col("run_id") == run_id)
+            .groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ):
+            review_counts[r.status] = int(r.n)
+    return {
+        "run_id": run_id,
+        "metrics": metrics_rows,
+        "anomalies": anomaly_rows,
+        "review_counts": review_counts,
+    }
+
+
 def evaluate_quality_gates(
     run_rates_row: DataFrame,
     anomalies: DataFrame,

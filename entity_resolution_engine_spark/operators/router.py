@@ -25,12 +25,31 @@ from pyspark.sql import functions as F
 from ..config import ScoringConfig
 
 
-def conflict_flags(scored: DataFrame) -> F.Column:
+def conflict_flags(scored: DataFrame, cfg: ScoringConfig | None = None) -> F.Column:
     """Adapter-style conflict signals (reference validation/adapters.py:
-    48-77 builds country/season/dob mismatch flags; the web analog is a
-    language mismatch between the two pages)."""
-    return F.array_compact(
-        F.array(
+    48-77 builds country/season/dob-style mismatch flags per entity
+    type — four distinct signals feeding the gray zone).  Web analogs:
+
+    - ``lang_mismatch``   — the two pages disagree on language
+    - ``warc_ts_gap``     — crawl timestamps more than
+                            cfg.max_warc_ts_gap_days apart (the dob/date
+                            delta analog, reference F8/F9)
+    - ``length_mismatch`` — length_ratio below cfg.min_length_ratio
+                            (a high text-sim score on wildly different
+                            lengths is suspicious)
+    - ``domain_mismatch`` — different registrable hosts; OFF by default
+                            (cfg.flag_domain_mismatch): real boilerplate
+                            clones legitimately cross domains, so this
+                            flag is for corpora where same-entity pages
+                            are known to be single-domain
+
+    Each flag is emitted only when its inputs exist in the frame, so
+    minimal scored frames (tests, external callers) still route."""
+    cfg = cfg or ScoringConfig()
+    cols = set(scored.columns)
+    parts = []
+    if {"lang_a", "lang_b"} <= cols:
+        parts.append(
             F.when(
                 F.col("lang_a").isNotNull()
                 & F.col("lang_b").isNotNull()
@@ -38,12 +57,43 @@ def conflict_flags(scored: DataFrame) -> F.Column:
                 F.lit("lang_mismatch"),
             )
         )
-    )
+    if {"ts_a", "ts_b"} <= cols:
+        gap_days = F.abs(
+            F.col("ts_a").cast("long") - F.col("ts_b").cast("long")
+        ) / 86400.0
+        parts.append(
+            F.when(
+                F.col("ts_a").isNotNull()
+                & F.col("ts_b").isNotNull()
+                & (gap_days > cfg.max_warc_ts_gap_days),
+                F.lit("warc_ts_gap"),
+            )
+        )
+    if "length_ratio" in cols:
+        parts.append(
+            F.when(
+                F.col("length_ratio").isNotNull()
+                & (F.col("length_ratio") < cfg.min_length_ratio),
+                F.lit("length_mismatch"),
+            )
+        )
+    if cfg.flag_domain_mismatch and {"url_a", "url_b"} <= cols:
+        from ..functions.normalize import domain_col
+
+        parts.append(
+            F.when(
+                domain_col(F.col("url_a")) != domain_col(F.col("url_b")),
+                F.lit("domain_mismatch"),
+            )
+        )
+    if not parts:
+        return F.array().cast("array<string>")
+    return F.array_compact(F.array(*parts))
 
 
 def route_pairs(scored: DataFrame, cfg: ScoringConfig, run_id: str) -> DataFrame:
     """scored pairs → + decision, routed_status, conflicts columns."""
-    flagged = scored.withColumn("conflicts", conflict_flags(scored))
+    flagged = scored.withColumn("conflicts", conflict_flags(scored, cfg))
     decision = (
         F.when(F.col("score") < cfg.threshold_low, F.lit("rejected"))
         .when(
@@ -87,6 +137,43 @@ def review_items(routed: DataFrame, run_id: str) -> DataFrame:
             )
         ).alias("signals"),
     )
+
+
+def reviews_query(
+    reviews: DataFrame,
+    status: str | None = None,
+    run_id: str | None = None,
+    min_score: float | None = None,
+    max_score: float | None = None,
+    limit: int = 50,
+    offset: int = 0,
+) -> DataFrame:
+    """P6 analog — the reference's review-queue read path
+    (/root/reference/entity_resolution_engine/api/main.py:112-157):
+    dynamic status/run/score-bound filters + ORDER BY ... LIMIT/OFFSET
+    over the reviews table.
+
+    Filters compose as plain Catalyst predicates, so reading from a
+    parquet/catalog snapshot pushes them into the scan (pinned by
+    test_router.test_reviews_query_pushdown).  Ordering is
+    matcher_score DESC with a deterministic (url_a, url_b) tie-break —
+    the reference orders by created_at DESC, which the engine's
+    append-time score ordering stands in for."""
+    out = reviews
+    if status is not None:
+        out = out.filter(F.col("status") == status)
+    if run_id is not None:
+        out = out.filter(F.col("run_id") == run_id)
+    if min_score is not None:
+        out = out.filter(F.col("matcher_score") >= min_score)
+    if max_score is not None:
+        out = out.filter(F.col("matcher_score") <= max_score)
+    out = out.orderBy(
+        F.desc("matcher_score"), F.asc("url_a"), F.asc("url_b")
+    )
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)
 
 
 def router_metrics(routed: DataFrame, run_id: str, seq: int = 0) -> DataFrame:

@@ -34,16 +34,18 @@ def score_pairs(
 ) -> DataFrame:
     """(url_a, url_b, …) → schemas.SCORED_PAIRS (+ lang_a/lang_b
     carried for the router's conflict flags)."""
-    side = normalized.select("url", "norm_text", "lang")
+    side = normalized.select("url", "norm_text", "lang", "warc_ts")
     a = side.select(
         F.col("url").alias("url_a"),
         F.col("norm_text").alias("norm_a"),
         F.col("lang").alias("lang_a"),
+        F.col("warc_ts").alias("ts_a"),
     )
     b = side.select(
         F.col("url").alias("url_b"),
         F.col("norm_text").alias("norm_b"),
         F.col("lang").alias("lang_b"),
+        F.col("warc_ts").alias("ts_b"),
     )
     enriched = candidates.join(a, "url_a").join(b, "url_b")
     # exact-strategy pairs are byte-identical on norm_text by
@@ -68,6 +70,8 @@ def score_pairs(
         "strategy",
         "lang_a",
         "lang_b",
+        "ts_a",
+        "ts_b",
         _feat("jaro_winkler"),
         _feat("token_jaccard"),
         _feat("levenshtein_sim"),

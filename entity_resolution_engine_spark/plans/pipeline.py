@@ -235,6 +235,23 @@ class Pipeline:
             )
             cat.write("quality_gate_results", gates, mode="append")
 
+            # O4: the combined quality report (metrics + anomalies +
+            # review counts) persisted as one run snapshot row
+            qr = M.build_quality_report(
+                history,
+                cat.read("anomaly_events"),
+                cat.read(self._t(run_id, "reviews")),
+                run_id,
+            )
+            cat.write(
+                "quality_reports",
+                self.spark.createDataFrame(
+                    [(run_id, json.dumps(qr, default=str))],
+                    "run_id string, report_json string",
+                ),
+                mode="append",
+            )
+
         run_stage("observe", _observe)
 
         if cat.exists("quality_gate_results"):

@@ -28,8 +28,6 @@ def test_oracle_keys_subset_of_queries():
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_query_runs(spark, name):
-    if name == "er_resolve_documents":
-        pytest.skip("covered by test_entry_runs (same plan)")
     df = E.queries()[name](spark, SF)
     assert df.columns  # stable schema
     assert df.count() >= 0

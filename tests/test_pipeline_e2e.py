@@ -114,3 +114,56 @@ def test_review_mode_pipeline(spark, synth_corpus, tmp_path_factory):
     # precision must not drop below auto-approve mode (fewer edges only)
     m = pairwise_f1(pipe.table("rv", "clusters"), labels)
     assert m["precision"] >= 0.99
+
+
+def test_quality_report_table(finished):
+    """O4: the combined quality report (reference qa/quality_report.py:
+    9-55 shape) is persisted per run with metrics + anomalies +
+    review_counts sections."""
+    pipe, _, _ = finished
+    reports = pipe.catalog.read("quality_reports").filter(F.col("run_id") == "e2e")
+    # the resume test re-runs observe for this run_id (append mode), so
+    # one report row per observe execution
+    assert reports.count() >= 1
+    payload = json.loads(reports.collect()[0].report_json)
+    assert payload["run_id"] == "e2e"
+    assert {m["stage"] for m in payload["metrics"]} >= {
+        "normalize", "block", "score", "cluster", "merge", "router"
+    }
+    assert isinstance(payload["anomalies"], list)
+    assert isinstance(payload["review_counts"], dict)
+
+
+def test_reviews_query_filters_and_pushdown(spark, tmp_path_factory):
+    """P6: dynamic review-queue filters (reference api/main.py:112-157)
+    + the score/status predicates must reach the parquet scan."""
+    from entity_resolution_engine_spark.operators.router import reviews_query
+
+    root = tmp_path_factory.mktemp("reviews")
+    rows = [
+        ("r1", f"https://a.org/{i}", f"https://b.org/{i}",
+         0.45 + i * 0.01, "PENDING" if i % 2 else "RESOLVED", "{}")
+        for i in range(20)
+    ]
+    path = str(root / "reviews.parquet")
+    spark.createDataFrame(
+        rows, ["run_id", "url_a", "url_b", "matcher_score", "status", "signals"]
+    ).write.mode("overwrite").parquet(path)
+    reviews = spark.read.parquet(path)
+
+    # qualifying rows: odd i with 0.5 <= 0.45+0.01i <= 0.6 → i in
+    # {5,7,9,11,13,15} = 6 rows; offset 2 + limit 3 → 3 rows
+    got = reviews_query(
+        reviews, status="PENDING", run_id="r1", min_score=0.5, max_score=0.6,
+        limit=3, offset=2,
+    )
+    rows_out = got.collect()
+    assert len(rows_out) == 3
+    scores = [r.matcher_score for r in rows_out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.status == "PENDING" and 0.5 <= r.matcher_score <= 0.6 for r in rows_out)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "matcher_score" in pushed and "status" in pushed, pushed

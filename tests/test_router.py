@@ -66,3 +66,76 @@ def test_router_metrics_counters(spark):
     assert m["auto_approved"] == 2.0
     assert m["auto_rejected"] == 2.0
     assert m["gray_zone"] == 2.0
+
+
+def _ts(offset_days: float):
+    from datetime import datetime, timedelta
+
+    return datetime(2020, 1, 1) + timedelta(days=offset_days)
+
+
+def test_conflict_flags_four_signals(spark):
+    """J11 parity (reference validation/adapters.py:48-77 builds four
+    mismatch signals): a high-score pair with ANY conflict routes gray."""
+    rows = [
+        # url_a, url_b, score, lang_a, lang_b, ts_a, ts_b, length_ratio
+        ("https://a.org/1", "https://a.org/2", 0.9, "en", "en", _ts(0), _ts(1), 1.0),    # clean → approved
+        ("https://a.org/3", "https://a.org/4", 0.9, "en", "fr", _ts(0), _ts(1), 1.0),    # lang
+        ("https://a.org/5", "https://a.org/6", 0.9, "en", "en", _ts(0), _ts(400), 1.0),  # ts gap
+        ("https://a.org/7", "https://a.org/8", 0.9, "en", "en", _ts(0), _ts(1), 0.1),    # length
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_a string, url_b string, score double, lang_a string, "
+        "lang_b string, ts_a timestamp, ts_b timestamp, length_ratio double",
+    ).select(
+        "*",
+        F.lit(0.9).alias("jaro_winkler"),
+        F.lit(0.9).alias("token_jaccard"),
+        F.lit(0.9).alias("levenshtein_sim"),
+    )
+    routed = route_pairs(df, CFG, "r1")
+    got = {r.url_a: (r.decision, sorted(r.conflicts)) for r in routed.collect()}
+    assert got["https://a.org/1"] == ("approved", [])
+    assert got["https://a.org/3"] == ("gray", ["lang_mismatch"])
+    assert got["https://a.org/5"] == ("gray", ["warc_ts_gap"])
+    assert got["https://a.org/7"] == ("gray", ["length_mismatch"])
+
+
+def test_domain_mismatch_flag_opt_in(spark):
+    rows = [
+        ("https://a.org/1", "https://b.org/9", 0.9, "en", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url_a", "url_b", "score", "lang_a", "lang_b"]
+    ).select(
+        "*",
+        F.lit(0.9).alias("jaro_winkler"),
+        F.lit(0.9).alias("token_jaccard"),
+        F.lit(0.9).alias("levenshtein_sim"),
+        F.lit(1.0).alias("length_ratio"),
+    )
+    # default: cross-domain dup pairs are legitimate → approved
+    assert route_pairs(df, CFG, "r").collect()[0].decision == "approved"
+    cfg = replace(CFG, flag_domain_mismatch=True)
+    row = route_pairs(df, cfg, "r").collect()[0]
+    assert row.decision == "gray" and row.conflicts == ["domain_mismatch"]
+
+
+def test_review_signals_carry_conflicts(spark):
+    import json as _json
+
+    cfg = replace(CFG, fallback_mode="review")
+    rows = [("https://a.org/1", "https://a.org/2", 0.9, "en", "fr")]
+    df = spark.createDataFrame(
+        rows, ["url_a", "url_b", "score", "lang_a", "lang_b"]
+    ).select(
+        "*",
+        F.lit(0.9).alias("jaro_winkler"),
+        F.lit(0.9).alias("token_jaccard"),
+        F.lit(0.9).alias("levenshtein_sim"),
+        F.lit(1.0).alias("length_ratio"),
+    )
+    routed = route_pairs(df, cfg, "r1")
+    item = review_items(routed, "r1").collect()[0]
+    assert _json.loads(item.signals)["conflicts"] == ["lang_mismatch"]
