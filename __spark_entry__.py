@@ -435,6 +435,16 @@ def q_media_features(spark, sf):
     )
 
 
+def q_media_inventory(spark, sf):
+    # the SQL-checkable projection of the mapInPandas feature path:
+    # kind is md5-derived and n_bytes is computed in Python from the
+    # binary payload, so a hash match proves the Arrow plumbing
+    from entity_resolution_engine_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(_t(spark, sf, "documents"))
+    return MM.extract_media_features(media).select("media_id", "kind", "n_bytes")
+
+
 def q_media_frames(spark, sf):
     from entity_resolution_engine_spark.operators import multimodal as MM
 
@@ -517,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "season_normalize": q_season_normalize,
         "country_map_normalize": q_country_map_normalize,
         "media_features": q_media_features,
+        "media_inventory": q_media_inventory,
         "media_frames": q_media_frames,
         "windowed_page_metrics": q_windowed_page_metrics,
         "er_resolve_documents": q_er_resolve_documents,
@@ -771,6 +782,13 @@ def oracle_sql() -> dict[str, str]:
             "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q "
             "  WHERE c.vec_id != q.vec_id"
             ") WHERE rank <= 5"
+        ),
+        "media_inventory": (
+            "SELECT doc_id AS media_id, "
+            "['image','audio','video']["
+            "  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 3)::INT + 1"
+            "] AS kind, "
+            "octet_length(encode(text))::BIGINT AS n_bytes FROM documents"
         ),
         "windowed_page_metrics": (
             # tumbling 1h event-time window = epoch-floor bucketing;

@@ -62,6 +62,24 @@ def brute_force_topk(
 # IVF
 # ---------------------------------------------------------------------------
 
+def centroid_sample(
+    corpus: DataFrame, sample: int = 4096, vec_col: str = "embedding"
+) -> DataFrame:
+    """The deterministic training sample as a DataFrame (~sample rows):
+    hash FILTER at the scan, then a sort of only the survivors for a
+    stable pick.  Exposed separately so the plan is dumpable
+    (PLANS.md pins that no full-corpus sort exists here)."""
+    h = F.xxhash64(F.col(vec_col).cast("string"))
+    n_total = corpus.count()  # columnar count — no shuffle, no sort
+    modulus = max(1, n_total // sample)
+    return (
+        corpus.select(F.col(vec_col).alias("v"), h.alias("h"))
+        .filter(F.pmod(F.col("h"), F.lit(modulus)) == 0)
+        .orderBy("h")
+        .limit(sample)
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     dim: int,
@@ -80,16 +98,7 @@ def train_centroids(
     filter keeps ~sample rows; only that survivor set is sorted (tiny)
     so the final pick stays deterministic.  nlist centroids are
     driver-side metadata (KBs), broadcast implicitly via UDF closure."""
-    h = F.xxhash64(F.col(vec_col).cast("string"))
-    n_total = corpus.count()  # columnar count — no shuffle, no sort
-    modulus = max(1, n_total // sample)
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"), h.alias("h"))
-        .filter(F.pmod(F.col("h"), F.lit(modulus)) == 0)
-        .orderBy("h")
-        .limit(sample)
-        .collect()
-    )
+    rows = centroid_sample(corpus, sample=sample, vec_col=vec_col).collect()
     x = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -26,7 +26,7 @@ logged via an accumulator-free metrics DataFrame the pipeline persists
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import BlockingConfig
@@ -45,7 +45,16 @@ def _pairs_within_blocks(members: DataFrame, strategy: str) -> DataFrame:
     return (
         a.join(b, "block_key")
         .filter(F.col("url_a") < F.col("url_b"))
-        .select("url_a", "url_b", "block_key", F.lit(strategy).alias("strategy"))
+        # every output re-aliased: the downstream union with
+        # rep_star_edges (built from the SAME members frame) must not
+        # share attribute ids across branches — Spark 4.1's union
+        # constraint rewrite fails with `key not found` otherwise
+        .select(
+            F.col("url_a").alias("url_a"),
+            F.col("url_b").alias("url_b"),
+            F.col("block_key").alias("block_key"),
+            F.lit(strategy).alias("strategy"),
+        )
     )
 
 
@@ -90,13 +99,24 @@ def lsh_blocks(
     reference under the Generate — measured 2.5x on this stage), while
     exploding from the cache runs it exactly once.  ``explode`` of a
     null band array (empty doc) emits nothing, subsuming the null
-    filter."""
+    filter.
+
+    Exact-duplicate texts occupy ONE membership row per band (min url
+    per (block_key, text_md5)): their clones are already
+    star-connected by exact_candidates, so letting each clone enter
+    the band self-join would re-find every intra-clone pair once per
+    agreeing band — quadratic waste on a boilerplate-heavy web corpus
+    (a 10^6-copy page would otherwise contribute 10^6 members to all
+    48 of its band buckets).  The dedup runs at the MEMBERSHIP level
+    (url + md5 + band key — narrow rows), never shuffling document
+    text; clusters still form transitively: clone → champion (exact
+    star) → near-dup neighbors (LSH)."""
     tokens = H.tokens_col(F.col("norm_text"))
     th = H.token_hashes_col(tokens)
     band_udf = H.make_minhash_band_udf(
         cfg.num_hashes, cfg.lsh_bands, cfg.shingle_size
     )
-    cols = ["url"] + (["domain"] if cfg.compose_domain else [])
+    cols = ["url", "text_md5"] + (["domain"] if cfg.compose_domain else [])
     banded = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
     ).select(*cols, band_udf(th).alias("band_arr")).persist()
@@ -108,36 +128,45 @@ def lsh_blocks(
         key = F.concat_ws("|", F.col("domain"), F.col("band_hash").cast("string"))
     else:
         key = F.col("band_hash").cast("string")
-    return exploded.select(key.alias("block_key"), "url")
+    return (
+        exploded.select(key.alias("block_key"), "text_md5", "url")
+        .groupBy("block_key", "text_md5")
+        .agg(F.min("url").alias("url"))
+        .select("block_key", "url")
+    )
 
 
 def split_oversized_blocks(
     members: DataFrame, cfg: BlockingConfig
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Bound block sizes: blocks ≤ max_block_size pass through; larger
-    blocks are split by url-hash into ceil(size/max) sub-blocks, and
-    the sub-block representatives (each sub-block's min url) are
-    star-linked to the block's global minimum so the pieces stay
-    transitively connected.  A star (not an all-pairs rep block) keeps
-    the bound: a 10^6-copy page with max=64 yields ~15 625 reps —
-    all-pairs over them would be ~1.2e8 pairs from ONE block, while the
-    star adds exactly n_subblocks-1 edges (connectivity is all the
-    clustering stage needs, mirroring exact_candidates).
+    blocks are split by url-rank round-robin into ceil(size/max)
+    sub-blocks (named ``<base>#<i>`` — '#' never occurs in band or md5
+    keys).  Connectivity across the pieces is restored by
+    ``rep_star_edges`` over the bounded membership: a star (not an
+    all-pairs rep block) keeps the bound — a 10^6-copy page with max=64
+    yields ~15 625 reps; all-pairs over them would be ~1.2e8 pairs from
+    ONE block, while the star adds exactly n_subblocks-1 edges
+    (connectivity is all the clustering stage needs, mirroring
+    exact_candidates).
 
-    Returns (bounded_members, rep_edges, block_stats):
+    Returns (bounded_members, block_stats):
     - bounded_members: (block_key, url), every block ≤ max_block_size
-    - rep_edges: ready candidate edges (url_a, url_b, block_key,
-      strategy='lsh') linking each split block's reps to its min url
     - block_stats reports every split block (key, size, n_subblocks) —
       the no-silent-caps ledger.
 
     Skew-aware plan: block sizes come from a partial-aggregated
     groupBy; only OVERSIZED keys (a tiny set — the Zipf head) are
     broadcast back, so the overwhelming singleton/small majority of
-    members passes through with NO sort and NO wide join, and the
-    row_number ranking runs only on the hot-key members.  The naive
-    window-over-everything formulation sorted the entire membership
-    (measured 6x this stage's cost at 250k docs).
+    members passes through with NO sort and NO wide join.  Sub-block
+    assignment is ``xxhash64(url) % n_sub`` — url-global, windowless:
+    a pair of urls that co-occurs in MANY oversized buckets (48 LSH
+    bands all hot for the same page family) lands in the same sub-index
+    everywhere, so the cross-band pair union dedups to ~one band's
+    worth instead of re-slicing per band (the earlier rank round-robin
+    emitted ~88% of all-pairs across bands for a 600-doc family).  The
+    per-sub-block size bound is probabilistic (Poisson around
+    max_block_size) — AQE's skew split absorbs the tail.
     """
     hot = F.broadcast(
         members.groupBy("block_key")
@@ -149,46 +178,54 @@ def split_oversized_blocks(
     small = tagged.filter(F.col("block_size").isNull()).select(
         F.col("block_key").cast("string").alias("block_key"), "url"
     )
-    rank_w = Window.partitionBy("block_key").orderBy("url")
-    big = tagged.filter(F.col("block_size").isNotNull()).withColumn(
-        "rn", F.row_number().over(rank_w)
-    )
-
     n_sub = F.ceil(F.col("block_size") / cfg.max_block_size).cast("long")
-    sub_members = big.select(
+    sub_members = tagged.filter(F.col("block_size").isNotNull()).select(
         F.concat_ws(
-            "#", F.col("block_key").cast("string"), F.pmod(F.col("rn") - 1, n_sub)
+            "#",
+            F.col("block_key").cast("string"),
+            F.pmod(F.xxhash64("url"), n_sub),
         ).alias("block_key"),
         "url",
     )
-    # within sub-block s, ranks are {s+1, s+1+n_sub, ...} (url-ordered),
-    # so rank ≤ n_sub ⇔ this row is its sub-block's minimal url; rank 1
-    # is the block's global minimum (sub-block 0's rep) — the star root
-    roots = big.filter(F.col("rn") == 1).select(
-        "block_key", F.col("url").alias("root")
+    stats = hot.select(
+        F.col("block_key").cast("string").alias("block_key"),
+        "block_size",
+        F.ceil(F.col("block_size") / cfg.max_block_size).cast("long").alias(
+            "n_subblocks"
+        ),
     )
-    rep_edges = (
-        big.filter((F.col("rn") > 1) & (F.col("rn") <= n_sub))
-        .join(roots, "block_key")
+    return small.unionByName(sub_members), stats
+
+
+def rep_star_edges(bounded_members: DataFrame) -> DataFrame:
+    """Star edges re-linking a split block's sub-blocks through their
+    representatives: for each base key, every sub-block's min url points
+    at the global min.  Computed FROM the bounded membership (which the
+    caller has persisted) — sub-block keys are ``<base>#<i>``, so two
+    small aggregations over the (rare) split rows suffice.  An earlier
+    formulation derived these from the pre-split frame and recomputed
+    the whole 10M-row explode + hot-count shuffle twice per action —
+    measured 30s for zero output rows at 250k pages."""
+    split = bounded_members.filter(F.col("block_key").contains("#")).select(
+        F.regexp_replace("block_key", r"#\d+$", "").alias("base_key"),
+        "block_key",
+        "url",
+    )
+    reps = split.groupBy("base_key", "block_key").agg(F.min("url").alias("rep"))
+    # roots from the membership directly (min of sub-mins == block min);
+    # deriving them from `reps` makes the join self-referencing, which
+    # trips Spark 4.1's union constraint rewrite (key not found: dst#N)
+    roots = split.groupBy("base_key").agg(F.min("url").alias("root"))
+    return (
+        reps.join(roots, "base_key")
+        .filter(F.col("rep") != F.col("root"))
         .select(
-            F.col("root").alias("url_a"),  # root is the min url: a < b holds
-            F.col("url").alias("url_b"),
-            F.concat(F.lit("rep#"), F.col("block_key").cast("string")).alias(
-                "block_key"
-            ),
+            F.col("root").alias("url_a"),  # root is the min rep: a < b holds
+            F.col("rep").alias("url_b"),
+            F.concat(F.lit("rep#"), F.col("base_key")).alias("block_key"),
             F.lit("lsh").alias("strategy"),
         )
     )
-    stats = (
-        big.filter(F.col("rn") == 1)
-        .withColumn("n_subblocks", n_sub)
-        .select(
-            F.col("block_key").cast("string").alias("block_key"),
-            "block_size",
-            "n_subblocks",
-        )
-    )
-    return small.unionByName(sub_members), rep_edges, stats
 
 
 def lsh_candidates(
@@ -207,11 +244,13 @@ def lsh_candidates(
     otherwise the caches outlive the blocking stage and pressure
     executor storage across pipeline runs."""
     blocks = lsh_blocks(normalized, cfg, caches)  # persists pre-explode internally
-    members, rep_edges, stats = split_oversized_blocks(blocks, cfg)
+    members, stats = split_oversized_blocks(blocks, cfg)
     members = members.persist()
     if caches is not None:
         caches.append(members)
-    pairs = _pairs_within_blocks(members, "lsh").unionByName(rep_edges)
+    pairs = _pairs_within_blocks(members, "lsh").unionByName(
+        rep_star_edges(members)  # reads the cache — tiny split-only aggs
+    )
     return pairs, stats
 
 

@@ -92,6 +92,7 @@ def connected_components(
     checkpoint_every: int = 3,
     catalog: TableCatalog | None = None,
     checkpoint_table: str = "_cc_edges",
+    rounds_per_check: int = 2,
 ) -> DataFrame:
     """edges(src, dst) → assignments(url, cluster_id).
 
@@ -99,33 +100,57 @@ def connected_components(
     edges.  ``catalog`` persists the working edge set every
     ``checkpoint_every`` rounds; if the checkpoint table already exists
     the iteration RESUMES from it instead of the raw edges.
+
+    ``rounds_per_check`` composes that many large+small-star rounds
+    into ONE job before the convergence signature runs: each signature
+    is a full pass over the edge set plus a driver round-trip — pure
+    serial time under Amdahl (the round-1 scaling-efficiency miss).
+    The star fixed point is stable under composition, so checking every
+    k-th round costs at most k−1 no-op rounds after convergence in
+    exchange for k× fewer sync points.
     """
     spark = edges.sparkSession
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     if catalog is not None and catalog.exists(checkpoint_table):
         cur = catalog.read(checkpoint_table)
-    # lazy localCheckpoint: the signature aggregation right after is the
-    # materializing action, so each round costs ONE job (an eager
-    # checkpoint would add a second full pass — pure serial driver time
-    # multiplied by the iteration count)
-    cur = cur.localCheckpoint(eager=False)
-    prev_sig = _signature(cur)
 
-    for it in range(max_iterations):
-        nxt = small_star(large_star(cur))
-        nxt = nxt.localCheckpoint(eager=False)
-        sig = _signature(nxt)
-        if catalog is not None and (it + 1) % checkpoint_every == 0:
-            catalog.write(checkpoint_table, nxt, mode="overwrite")
-        if sig == prev_sig:
+    # Spark 4.1's union constraint rewrite crashes (`key not found:
+    # dst#N`) when checkpointing a plan whose union branches share
+    # source attribute ids (the candidate union built from one members
+    # frame).  Constraints only matter for filter inference/pushdown,
+    # which the tiny (src, dst) iteration plans don't benefit from —
+    # disable propagation for the duration of the loop and restore it
+    # after (the converged edge set is checkpoint-backed by then).
+    _CONF = "spark.sql.constraintPropagation.enabled"
+    prev_conf = spark.conf.get(_CONF, "true")
+    spark.conf.set(_CONF, "false")
+    try:
+        # lazy localCheckpoint: the signature aggregation right after is
+        # the materializing action, so each round costs ONE job (an
+        # eager checkpoint would add a second full pass — pure serial
+        # driver time multiplied by the iteration count)
+        cur = cur.localCheckpoint(eager=False)
+        prev_sig = _signature(cur)
+
+        for it in range(max_iterations):
+            nxt = cur
+            for _ in range(max(1, rounds_per_check)):
+                nxt = small_star(large_star(nxt))
+            nxt = nxt.localCheckpoint(eager=False)
+            sig = _signature(nxt)
+            if catalog is not None and (it + 1) % checkpoint_every == 0:
+                catalog.write(checkpoint_table, nxt, mode="overwrite")
+            if sig == prev_sig:
+                cur = nxt
+                break
+            prev_sig = sig
             cur = nxt
-            break
-        prev_sig = sig
-        cur = nxt
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} iterations"
-        )
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} iterations"
+            )
+    finally:
+        spark.conf.set(_CONF, prev_conf)
 
     # Converged edge set is a forest of stars (child → root).  Any root
     # appearing only as dst maps to itself.

@@ -77,10 +77,21 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 def synthesize_media(documents: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents corpus
     (payload = utf-8 text bytes — an opaque blob as far as the
-    pipeline is concerned)."""
+    pipeline is concerned).
+
+    ``kind`` derives from md5 (not xxhash64) deliberately: DuckDB can
+    reproduce md5, so the driver's media_inventory oracle value-checks
+    the mapInPandas feature plumbing end-to-end."""
     kind = F.element_at(
         F.lit(["image", "audio", "video"]),
-        (F.pmod(F.xxhash64("doc_id"), F.lit(3)) + 1).cast("int"),
+        (
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+                .cast("long"),
+                F.lit(3),
+            )
+            + 1
+        ).cast("int"),
     )
     return documents.select(
         F.col("doc_id").alias("media_id"),

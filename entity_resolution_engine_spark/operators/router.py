@@ -208,8 +208,102 @@ def router_metrics(routed: DataFrame, run_id: str, seq: int = 0) -> DataFrame:
     )
 
 
+_LLM_SYSTEM_PROMPT = (
+    "You are a strict entity-resolution validator. "
+    "Return JSON with decision MATCH, NO_MATCH, or REVIEW."
+)
+
+_VALID_DECISIONS = {"MATCH", "NO_MATCH", "REVIEW"}
+
+
+def validate_llm_response(obj) -> dict:
+    """Schema validation of an LLM verdict (reference
+    validation/schemas.py:9-13 ValidationResult, minus the pydantic
+    dependency): decision ∈ {MATCH, NO_MATCH, REVIEW}, confidence in
+    [0, 1], reasons/risk_flags lists of strings.  Raises ValueError on
+    any violation — callers map that to the REVIEW fallback."""
+    if not isinstance(obj, dict):
+        raise ValueError("response is not a JSON object")
+    decision = obj.get("decision")
+    if decision not in _VALID_DECISIONS:
+        raise ValueError(f"invalid decision {decision!r}")
+    confidence = obj.get("confidence")
+    if not isinstance(confidence, (int, float)) or not 0.0 <= float(confidence) <= 1.0:
+        raise ValueError(f"confidence out of range: {confidence!r}")
+    out = {"decision": decision, "confidence": float(confidence)}
+    for key in ("reasons", "risk_flags"):
+        val = obj.get(key, [])
+        if not isinstance(val, list) or not all(isinstance(x, str) for x in val):
+            raise ValueError(f"{key} must be a list of strings")
+        out[key] = list(val)
+    return out
+
+
+def llm_validate_pair(pair: dict, transport, max_json_retries: int = 1) -> dict:
+    """One schema'd validation call (reference llm_validator.py:20-81 +
+    llm_client.py request_json semantics): deterministic sorted-key JSON
+    payload with an explicit response_schema block; invalid JSON gets
+    ONE retry with a strictness preamble (flagged
+    ``llm_invalid_json_retry``); any persistent failure degrades to
+    decision=REVIEW with risk_flag ``llm_error``.
+
+    ``transport(system_prompt, user_prompt) -> str`` is the injectable
+    boundary — the engine itself carries no network code."""
+    payload = {
+        "entity_type": "page",
+        "matcher_score": pair.get("score"),
+        "left": {"url": pair.get("url_a"), "lang": pair.get("lang_a")},
+        "right": {"url": pair.get("url_b"), "lang": pair.get("lang_b")},
+        "signals": {
+            k: pair.get(k)
+            for k in (
+                "jaro_winkler",
+                "token_jaccard",
+                "levenshtein_sim",
+                "length_ratio",
+                "conflicts",
+            )
+            if k in pair
+        },
+        "response_schema": {
+            "decision": "MATCH|NO_MATCH|REVIEW",
+            "confidence": "0..1",
+            "reasons": "list[str]",
+            "risk_flags": "list[str]",
+        },
+    }
+    user_prompt = json.dumps(payload, sort_keys=True, default=str)
+    retried = False
+    try:
+        text = transport(_LLM_SYSTEM_PROMPT, user_prompt)
+        for attempt in range(max_json_retries + 1):
+            try:
+                parsed = json.loads(text)
+                break
+            except json.JSONDecodeError:
+                if attempt >= max_json_retries:
+                    raise
+                retried = True
+                text = transport(
+                    _LLM_SYSTEM_PROMPT,
+                    "Return valid JSON only. Do not include commentary or "
+                    "markdown.\n\n" + user_prompt,
+                )
+        result = validate_llm_response(parsed)
+        if retried and "llm_invalid_json_retry" not in result["risk_flags"]:
+            result["risk_flags"].append("llm_invalid_json_retry")
+        return result
+    except Exception:
+        return {
+            "decision": "REVIEW",
+            "confidence": 0.0,
+            "reasons": ["LLM validation failed"],
+            "risk_flags": ["llm_error"],
+        }
+
+
 def llm_validate_sample(
-    routed: DataFrame, cfg: ScoringConfig, validate_fn=None
+    routed: DataFrame, cfg: ScoringConfig, validate_fn=None, transport=None
 ) -> list[dict]:
     """Optional LLM validation hook for gray-zone pairs — preserved as a
     bounded driver-side loop because the reference's circuit breaker is
@@ -217,7 +311,17 @@ def llm_validate_sample(
     default (cfg.llm_enabled=False), mirroring llm_validation.yml:1.
 
     ``validate_fn(pair_dict) -> dict`` is injected in tests; no network
-    code lives in the engine."""
+    code lives in the engine.  Alternatively pass ``transport`` (the
+    raw text-in/text-out hook) to get the full reference semantics —
+    schema'd payload, invalid-JSON retry, error → REVIEW — via
+    ``llm_validate_pair``; a schema-invalid or errored verdict counts
+    as a failure toward the circuit breaker."""
+    if transport is not None and validate_fn is None:
+        def validate_fn(row):  # noqa: F811 — deliberate binding
+            verdict = llm_validate_pair(row, transport)
+            if "llm_error" in verdict.get("risk_flags", []):
+                raise RuntimeError("llm_error")  # breaker counts a failure
+            return verdict
     if not cfg.llm_enabled or validate_fn is None:
         return []
     sample = (

@@ -200,7 +200,10 @@ class Pipeline:
             )
             cat.write("run_metrics", all_metrics, mode="append")
 
-            history = cat.read("run_metrics")
+            # the observability frames below feed ~10 small driver
+            # actions (rates, anomalies, triage, gates, report) — cache
+            # them once instead of re-scanning parquet per action
+            history = cat.read("run_metrics").cache()
             rates = M.derive_run_rates(history)
             run_order = (
                 history.groupBy("run_id")
@@ -210,11 +213,9 @@ class Pipeline:
             )
             anomalies = M.detect_anomalies(rates, run_order, run_id, self.cfg.anomaly)
             cat.write("anomaly_events", anomalies, mode="append")
-            report = M.triage_report(
-                cat.read("anomaly_events"),
-                cat.read(self._t(run_id, "reviews")),
-                run_id,
-            )
+            anomaly_history = cat.read("anomaly_events").cache()
+            reviews_df = cat.read(self._t(run_id, "reviews")).cache()
+            report = M.triage_report(anomaly_history, reviews_df, run_id)
             cat.write(
                 "anomaly_triage_reports",
                 self.spark.createDataFrame(
@@ -231,18 +232,13 @@ class Pipeline:
                 mode="append",
             )
             gates = M.evaluate_quality_gates(
-                rates, cat.read("anomaly_events"), run_id, self.cfg.gates
+                rates, anomaly_history, run_id, self.cfg.gates
             )
             cat.write("quality_gate_results", gates, mode="append")
 
             # O4: the combined quality report (metrics + anomalies +
             # review counts) persisted as one run snapshot row
-            qr = M.build_quality_report(
-                history,
-                cat.read("anomaly_events"),
-                cat.read(self._t(run_id, "reviews")),
-                run_id,
-            )
+            qr = M.build_quality_report(history, anomaly_history, reviews_df, run_id)
             cat.write(
                 "quality_reports",
                 self.spark.createDataFrame(
@@ -251,6 +247,8 @@ class Pipeline:
                 ),
                 mode="append",
             )
+            for c in (history, anomaly_history, reviews_df):
+                c.unpersist()
 
         run_stage("observe", _observe)
 

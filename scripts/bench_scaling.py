@@ -59,10 +59,14 @@ def run(subdir):
     pages = spark.read.parquet(corpus_dir + "/" + subdir)
     normalized = normalize_pages(pages).persist()
     n_pages = normalized.count()
-    pairs, _stats = candidate_pairs(normalized, DEFAULT_CONFIG.blocking)
+    t_norm = time.monotonic() - t0
+    caches = []
+    pairs, _stats = candidate_pairs(normalized, DEFAULT_CONFIG.blocking, caches=caches)
     scored = score_pairs(pairs, normalized, DEFAULT_CONFIG.scoring).persist()
     n_pairs = scored.count()
     t_scored = time.monotonic() - t0
+    for c in caches:
+        c.unpersist()
     routed = route_pairs(scored, DEFAULT_CONFIG.scoring, "scale")
     edges = routed.filter(F.col("routed_status") == "approved").select(
         F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
@@ -70,7 +74,7 @@ def run(subdir):
     n_clusters = assignments.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0
     spark.catalog.clearCache()
-    return n_pages, n_pairs, n_clusters, wall, t_scored
+    return n_pages, n_pairs, n_clusters, wall, t_scored, t_norm
 
 # warm the JVM (JIT, codegen caches, Python workers) on a small slice,
 # then take the best of two measured runs — first-run JIT variance on a
@@ -81,10 +85,13 @@ for _ in range(2):
     r = run("full")
     if best is None or r[3] < best[3]:
         best = r
-n_pages, n_pairs, n_clusters, wall, t_scored = best
+n_pages, n_pairs, n_clusters, wall, t_scored, t_norm = best
 print("CHILD_RESULT " + json.dumps({
     "cpus": cpus, "pages": n_pages, "pairs_scored": n_pairs,
     "clusters": n_clusters, "wall_sec": round(wall, 2),
+    "normalize_sec": round(t_norm, 2),
+    "block_score_sec": round(t_scored - t_norm, 2),
+    "cluster_sec": round(wall - t_scored, 2),
     "scored_sec": round(t_scored, 2),
     "pages_per_sec": round(n_pages / wall, 1),
     "pairs_scored_per_sec": round(n_pairs / t_scored, 1),

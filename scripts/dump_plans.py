@@ -20,6 +20,7 @@ NAMES = [
     "zscore_anomaly",
     "exact_dup_groups",
     "ngram_jaccard",
+    "minhash_near_dup",
     "ann_bruteforce",
 ]
 
@@ -43,6 +44,18 @@ def main() -> None:
             )
         )
         out.append(f"\n## {name}\n\n```\n{plan.strip()}\n```\n")
+
+    # IVF centroid training sample: the plan must show a hash FILTER at
+    # the scan with the sort applied only to the ~sample survivors —
+    # never a full-corpus global sort (VERDICT round-1 item 5)
+    from entity_resolution_engine_spark.operators.ann import centroid_sample
+    from entity_resolution_engine_spark.sources.readers import load_table
+
+    sample_df = centroid_sample(load_table(spark, SF, "embeddings"), sample=256)
+    plan = sample_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    out.append(f"\n## ann_ivf centroid training sample\n\n```\n{plan.strip()}\n```\n")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")

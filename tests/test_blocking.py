@@ -42,36 +42,53 @@ def test_split_bounds_block_size(spark):
         [("hot", f"u{i:03d}") for i in range(50)] + [("cold", "x1"), ("cold", "x2")],
         ["block_key", "url"],
     )
-    bounded, rep_edges, stats = split_oversized_blocks(members, cfg)
-    sizes = bounded.groupBy("block_key").count().collect()
-    assert max(r["count"] for r in sizes) <= 8
+    bounded, stats = split_oversized_blocks(members, cfg)
+    sizes = {r.block_key: r["count"] for r in bounded.groupBy("block_key").count().collect()}
+    # url-hash assignment: the bound is probabilistic (Poisson around
+    # max_block_size) — assert no sub-block degenerates past 2x, the
+    # cold block passes through untouched, and membership is preserved
+    assert max(sizes.values()) <= 2 * cfg.max_block_size
+    assert sizes["cold"] == 2
+    assert sum(sizes.values()) == 52
     st = stats.collect()
     assert len(st) == 1 and st[0].block_key == "hot" and st[0].block_size == 50
-    # connectivity: a star of n_subblocks-1 edges links every sub-block
-    # rep to the block minimum (NOT an all-pairs rep block — that would
-    # be quadratic in n_subblocks for a mega-block)
-    reps = rep_edges.collect()
-    assert len(reps) == st[0].n_subblocks - 1
+    # connectivity: a star links every (non-empty) sub-block rep to the
+    # block minimum (NOT an all-pairs rep block — that would be
+    # quadratic in n_subblocks for a mega-block)
+    from entity_resolution_engine_spark.operators.blocking import rep_star_edges
+
+    n_sub_present = sum(1 for k in sizes if k.startswith("hot#"))
+    reps = rep_star_edges(bounded).collect()
+    assert len(reps) == n_sub_present - 1
     assert all(e.url_a == "u000" for e in reps)  # root = global min url
     assert all(e.url_a < e.url_b for e in reps)
 
 
 def test_blocking_recall_on_planted_clusters(spark, synth_corpus, normalized):
-    """Candidate pairs + transitivity must cover ≥99% of intra-cluster
-    pairs (BASELINE.json F1 target is downstream-capped by this)."""
-    _, labels = synth_corpus
-    pairs, _ = candidate_pairs(normalized, BlockingConfig())
-    # transitive closure not needed for recall accounting if we measure
-    # connectivity per cluster: count clusters whose members form one
-    # connected component in the candidate graph.  Cheap proxy here:
-    # direct-pair recall over the labeled positive pairs.
+    """Candidate connectivity must cover ≥99% of intra-cluster pairs
+    (BASELINE.json F1 target is downstream-capped by this).  Measured
+    TRANSITIVELY — exact clones reach near-dup neighbors through their
+    md5 champion (lsh_blocks bands one champion per distinct text), so
+    direct-pair recall is not the semantics the clustering stage needs."""
+    from entity_resolution_engine_spark.operators.cluster import (
+        connected_components,
+    )
     from entity_resolution_engine_spark.sources.synth import labeled_pairs
 
+    _, labels = synth_corpus
+    pairs, _ = candidate_pairs(normalized, BlockingConfig())
+    assign = connected_components(
+        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
+        all_nodes=normalized.select("url"),
+    )
     gold = labeled_pairs(labels).filter("is_match")
-    hit = gold.join(pairs, ["url_a", "url_b"], "left_semi").count()
+    a = assign.select(F.col("url").alias("url_a"), F.col("cluster_id").alias("ca"))
+    b = assign.select(F.col("url").alias("url_b"), F.col("cluster_id").alias("cb"))
+    joined = gold.join(a, "url_a").join(b, "url_b")
+    hit = joined.filter(F.col("ca") == F.col("cb")).count()
     total = gold.count()
     assert total > 0
-    assert hit / total >= 0.97, f"direct blocking recall {hit}/{total}"
+    assert hit / total >= 0.99, f"transitive blocking recall {hit}/{total}"
 
 
 def test_candidate_pairs_unique(normalized):
@@ -109,10 +126,10 @@ def test_exact_candidates_skewed_block(spark):
     assert all(e.url_a == "u0000" for e in edges)
 
 
-def test_hot_block_bounded_and_connected(spark):
-    """A 2000-copy boilerplate page (hot md5 AND hot LSH bands) must not
-    explode the pair count, must log its splits, and must still come out
-    as ONE connected component."""
+def test_exact_hot_page_collapses_to_champion(spark):
+    """A 2000-copy boilerplate page: clones never enter LSH (one
+    champion per text_md5), the exact star carries connectivity, and
+    the pair count is exactly linear."""
     from entity_resolution_engine_spark.operators.cluster import (
         connected_components,
     )
@@ -123,16 +140,43 @@ def test_hot_block_bounded_and_connected(spark):
         for i in range(2000)
     ]
     df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
+    pairs, _stats = candidate_pairs(df, BlockingConfig(max_block_size=64))
+    assert pairs.count() == 1999  # the star; zero LSH self-pairs
+    assign = connected_components(
+        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
+        all_nodes=df.select("url"),
+    )
+    assert assign.select("cluster_id").distinct().count() == 1
+
+
+def test_hot_lsh_block_bounded_and_connected(spark):
+    """600 near-identical but DISTINCT texts (each perturbed by one
+    token, so champions don't collapse them) share most LSH band
+    buckets: the splitter must bound every block, log the splits, and
+    rep stars must keep the whole family ONE component."""
+    from entity_resolution_engine_spark.operators.cluster import (
+        connected_components,
+    )
+
+    base = "identical boilerplate page body text " * 6
+    rows = [
+        (
+            f"https://s{i%7}.example.org/p/{i:05d}",
+            (base + f"tail{i}").lower().strip(),
+            f"md5-{i:05d}",
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
     cfg = BlockingConfig(max_block_size=64)
     pairs, stats = candidate_pairs(df, cfg)
     n_pairs = pairs.count()
-    # unbounded all-pairs would be ~2M; bounded: exact star (1999) +
-    # LSH sub-blocks (<= bands * ceil(2000/64) * C(64,2)-ish per block,
-    # deduped). Assert well under the quadratic blowup.
-    assert n_pairs < 300_000, n_pairs
+    # all-pairs would be C(600,2) = 179 700 per hot band key ACROSS 48
+    # bands; bounded sub-blocks keep the dedup'd union well below that
+    assert n_pairs < 120_000, n_pairs
     assert stats.count() > 0  # the split ledger recorded the hot blocks
-    edges = pairs.select(
-        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    assign = connected_components(
+        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
+        all_nodes=df.select("url"),
     )
-    assign = connected_components(edges, all_nodes=df.select("url"))
     assert assign.select("cluster_id").distinct().count() == 1

@@ -94,3 +94,90 @@ def test_errors_become_review_rows(spark):
     statuses = {o["url_a"]: o["status"] for o in out}
     assert statuses["a0"] == "REVIEW"
     assert sum(1 for s in statuses.values() if s == "APPROVE") == 4
+
+
+# ---------------------------------------------------------------------------
+# R5 parity: schema'd validation + invalid-JSON retry + error → REVIEW
+# (reference validation/llm_validator.py:20-81, llm_client.py request_json)
+# ---------------------------------------------------------------------------
+
+
+def _pair():
+    return {
+        "url_a": "https://a.org/1", "url_b": "https://b.org/1",
+        "score": 0.55, "lang_a": "en", "lang_b": "en",
+        "jaro_winkler": 0.8, "token_jaccard": 0.6,
+        "levenshtein_sim": 0.7, "length_ratio": 0.9,
+    }
+
+
+def test_llm_validate_pair_valid_response():
+    from entity_resolution_engine_spark.operators.router import llm_validate_pair
+    import json as _json
+
+    prompts = []
+
+    def transport(system, user):
+        prompts.append(user)
+        payload = _json.loads(user)
+        assert payload["response_schema"]["decision"] == "MATCH|NO_MATCH|REVIEW"
+        return _json.dumps({"decision": "MATCH", "confidence": 0.93, "reasons": ["same title"]})
+
+    out = llm_validate_pair(_pair(), transport)
+    assert out == {"decision": "MATCH", "confidence": 0.93,
+                   "reasons": ["same title"], "risk_flags": []}
+    assert len(prompts) == 1
+
+
+def test_llm_validate_pair_invalid_json_retries_once():
+    from entity_resolution_engine_spark.operators.router import llm_validate_pair
+
+    calls = []
+
+    def transport(system, user):
+        calls.append(user)
+        if len(calls) == 1:
+            return "```json not json```"
+        assert user.startswith("Return valid JSON only.")
+        return '{"decision": "NO_MATCH", "confidence": 0.2}'
+
+    out = llm_validate_pair(_pair(), transport)
+    assert out["decision"] == "NO_MATCH"
+    assert "llm_invalid_json_retry" in out["risk_flags"]
+    assert len(calls) == 2
+
+
+def test_llm_validate_pair_persistent_garbage_degrades_to_review():
+    from entity_resolution_engine_spark.operators.router import llm_validate_pair
+
+    out = llm_validate_pair(_pair(), lambda s, u: "garbage")
+    assert out["decision"] == "REVIEW"
+    assert out["risk_flags"] == ["llm_error"]
+
+
+def test_llm_validate_pair_schema_violations_degrade_to_review():
+    from entity_resolution_engine_spark.operators.router import llm_validate_pair
+    import json as _json
+
+    for bad in (
+        {"decision": "MAYBE", "confidence": 0.5},
+        {"decision": "MATCH", "confidence": 1.7},
+        {"decision": "MATCH", "confidence": 0.5, "reasons": "not-a-list"},
+        ["not", "an", "object"],
+    ):
+        out = llm_validate_pair(_pair(), lambda s, u, b=bad: _json.dumps(b))
+        assert out["decision"] == "REVIEW" and out["risk_flags"] == ["llm_error"], bad
+
+
+def test_transport_plugs_into_sample_loop(spark):
+    import json as _json
+
+    cfg = replace(CFG, llm_enabled=True, max_llm_calls_per_run=5)
+    routed = _routed(spark, n_gray=5)
+
+    def transport(system, user):
+        return _json.dumps({"decision": "MATCH", "confidence": 0.9})
+
+    out = llm_validate_sample(routed, cfg, transport=transport)
+    assert len(out) == 5
+    assert all(o["decision"] == "MATCH" for o in out)
