@@ -64,6 +64,12 @@ class ScoringConfig:
     score ≥ high with no conflict flags → approved, else gray zone.
     """
 
+    # pairwise features are computed on the first match_key_chars of
+    # norm_text (the reference scores short normalized names, not
+    # documents; whole-document similarity is the MinHash/blocking
+    # stage's job).  Bounds both the O(len²) similarity kernels and the
+    # enrichment-join shuffle bytes per pair.
+    match_key_chars: int = 384
     w_jaro_winkler: float = 0.35
     w_token_jaccard: float = 0.35
     w_levenshtein: float = 0.20

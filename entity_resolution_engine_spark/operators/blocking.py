@@ -101,25 +101,36 @@ def lsh_blocks(
     null band array (empty doc) emits nothing, subsuming the null
     filter.
 
-    Exact-duplicate texts occupy ONE membership row per band (min url
-    per (block_key, text_md5)): their clones are already
-    star-connected by exact_candidates, so letting each clone enter
-    the band self-join would re-find every intra-clone pair once per
+    Exact-duplicate texts enter the band join through ONE champion per
+    text_md5: clones are already star-connected by exact_candidates,
+    so banding each clone would re-find every intra-clone pair once per
     agreeing band — quadratic waste on a boilerplate-heavy web corpus
     (a 10^6-copy page would otherwise contribute 10^6 members to all
-    48 of its band buckets).  The dedup runs at the MEMBERSHIP level
-    (url + md5 + band key — narrow rows), never shuffling document
-    text; clusters still form transitively: clone → champion (exact
-    star) → near-dup neighbors (LSH)."""
+    48 of its band buckets).  The dedup groupBy runs on the POST-UDF
+    doc-level rows (url, md5, 48-band array ≈ 0.4 KB) — identical
+    texts have identical band arrays, the UDF runs once map-side, and
+    neither document text nor the 48x-larger exploded membership is
+    ever shuffled.  Clusters still form transitively: clone → champion
+    (exact star) → near-dup neighbors (LSH)."""
     tokens = H.tokens_col(F.col("norm_text"))
     th = H.token_hashes_col(tokens)
     band_udf = H.make_minhash_band_udf(
         cfg.num_hashes, cfg.lsh_bands, cfg.shingle_size
     )
-    cols = ["url", "text_md5"] + (["domain"] if cfg.compose_domain else [])
-    banded = normalized.filter(
+    raw = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
-    ).select(*cols, band_udf(th).alias("band_arr")).persist()
+    ).select("url", "text_md5", *(["domain"] if cfg.compose_domain else []),
+             band_udf(th).alias("band_arr"))
+    champ_aggs = [
+        F.min("url").alias("url"),
+        F.first("band_arr").alias("band_arr"),  # identical across the md5 group
+    ]
+    if cfg.compose_domain:
+        champ_aggs.append(F.min_by("domain", "url").alias("domain"))
+    cols = ["url"] + (["domain"] if cfg.compose_domain else [])
+    banded = raw.groupBy("text_md5").agg(*champ_aggs).select(
+        *cols, "band_arr"
+    ).persist()
     if caches is not None:
         caches.append(banded)
     exploded = banded.select(*cols, F.explode("band_arr").alias("band_hash"))
@@ -128,12 +139,7 @@ def lsh_blocks(
         key = F.concat_ws("|", F.col("domain"), F.col("band_hash").cast("string"))
     else:
         key = F.col("band_hash").cast("string")
-    return (
-        exploded.select(key.alias("block_key"), "text_md5", "url")
-        .groupBy("block_key", "text_md5")
-        .agg(F.min("url").alias("url"))
-        .select("block_key", "url")
-    )
+    return exploded.select(key.alias("block_key"), "url")
 
 
 def split_oversized_blocks(

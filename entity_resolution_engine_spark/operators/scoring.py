@@ -34,16 +34,28 @@ def score_pairs(
 ) -> DataFrame:
     """(url_a, url_b, …) → schemas.SCORED_PAIRS (+ lang_a/lang_b
     carried for the router's conflict flags)."""
-    side = normalized.select("url", "norm_text", "lang", "warc_ts")
+    # The pairwise features run on a BOUNDED match key, not the full
+    # document: the reference scores normalized NAMES (short keys —
+    # players_matcher.py:19-23), and full-document similarity is
+    # already the blocking stage's job (MinHash).  Truncating here (a)
+    # keeps the character-quadratic Jaro-Winkler/Levenshtein batch
+    # kernels O(key²) instead of O(doc²) per pair, and (b) cuts the
+    # enrichment-join shuffle from ~KBs of text per pair side to
+    # ≤ match_key_chars bytes — at 100 TB the join's byte volume, not
+    # the Python, is the bill.
+    key = F.substring(F.col("norm_text"), 1, cfg.match_key_chars)
+    side = normalized.select(
+        "url", key.alias("mk"), "lang", "warc_ts"
+    )
     a = side.select(
         F.col("url").alias("url_a"),
-        F.col("norm_text").alias("norm_a"),
+        F.col("mk").alias("norm_a"),
         F.col("lang").alias("lang_a"),
         F.col("warc_ts").alias("ts_a"),
     )
     b = side.select(
         F.col("url").alias("url_b"),
-        F.col("norm_text").alias("norm_b"),
+        F.col("mk").alias("norm_b"),
         F.col("lang").alias("lang_b"),
         F.col("warc_ts").alias("ts_b"),
     )

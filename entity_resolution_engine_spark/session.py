@@ -57,6 +57,17 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill dirs on tmpfs when available: this sandbox's /tmp
+    # sits on a throttled virtio disk, which serializes every shuffle
+    # write regardless of core count (measured: the block+score phase
+    # ran 119s at BOTH local[8] and local[32] with /tmp spills — zero
+    # scaling).  On a real cluster this is the NVMe local-disk conf.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
