@@ -23,6 +23,12 @@ import tempfile
 
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 250000
 LEVELS = (8, 32)
+# The sandbox host oscillates between performance regimes on a scale of
+# minutes (measured: identical memcpy microbenchmark 2.3-62 GB/s;
+# identical 250k probe 9-55 s).  Running all of one level then all of
+# the other confounds the level with the regime — interleave the levels
+# ROUNDS times and keep each level's best run instead.
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
 
 _GEN = r"""
 import sys
@@ -112,20 +118,27 @@ def main() -> None:
         sys.stderr.write(gen.stderr[-4000:])
         raise SystemExit("corpus generation failed")
     results = {}
-    for cpus in LEVELS:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, "-c", _CHILD, str(cpus), corpus_dir],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=3000,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise SystemExit(f"child at local[{cpus}] produced no result")
-        results[cpus] = json.loads(line[-1][len("CHILD_RESULT "):])
+    all_runs: list[dict] = []
+    for _round in range(ROUNDS):
+        for cpus in LEVELS:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, "-c", _CHILD, str(cpus), corpus_dir],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=3000,
+            )
+            line = [
+                l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")
+            ]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+                raise SystemExit(f"child at local[{cpus}] produced no result")
+            res = json.loads(line[-1][len("CHILD_RESULT "):])
+            all_runs.append(res)
+            if cpus not in results or res["wall_sec"] < results[cpus]["wall_sec"]:
+                results[cpus] = res
 
     shutil.rmtree(corpus_dir, ignore_errors=True)
     lo, hi = LEVELS
@@ -139,6 +152,9 @@ def main() -> None:
         "speedup": round(speedup, 2),
         "ideal_speedup": ideal,
         "levels": results,
+        "all_runs": [
+            {"cpus": r["cpus"], "wall_sec": r["wall_sec"]} for r in all_runs
+        ],
     }
     print(json.dumps(out))
 
