@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+if os.path.isdir("/dev/shm"):
+    # sandbox: /tmp is a throttled virtio disk; shuffle spills must not
+    # serialize on it (session.py reads this env var — opt-in there)
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # synthetic web_pages rows for the ER throughput section (~4x the sf0.1

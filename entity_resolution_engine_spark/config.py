@@ -81,6 +81,13 @@ class ScoringConfig:
     fallback_mode: str = "auto_approve"  # gray-zone fallback when LLM disabled
     llm_enabled: bool = False
     max_llm_calls_per_run: int = 200
+    # circuit breaker (reference llm_validation.yml circuit_breaker +
+    # validation/router.py:148-160): opens on EITHER a full-window fail
+    # rate ≥ max_fail_rate OR an invalid-JSON-retry rate ≥
+    # max_invalid_json_rate
+    llm_breaker_window: int = 50
+    llm_breaker_max_fail_rate: float = 0.2
+    llm_breaker_max_invalid_json_rate: float = 0.1
     # conflict-flag knobs (router.conflict_flags — the J11 adapter
     # signals).  domain_mismatch defaults OFF: web boilerplate clones
     # legitimately cross domains (the synth corpus plants ~20% such).

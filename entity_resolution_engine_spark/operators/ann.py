@@ -157,12 +157,15 @@ def ivf_topk(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     ).withColumn("cell", F.explode(assign_n(F.col("qv"))))
 
+    # no (query, neighbor) dedup needed: each corpus row lives in
+    # exactly ONE cell, so the cell equi-join emits a pair at most once
+    # (a dropDuplicates here cost a full extra exchange for nothing —
+    # round-2 verdict item; re-add only if corpus rows ever multi-probe)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         c.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_sim_col(F.col("qv"), F.col("cv")))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")

@@ -88,7 +88,10 @@ def exact_candidates(normalized: DataFrame) -> DataFrame:
 
 
 def lsh_blocks(
-    normalized: DataFrame, cfg: BlockingConfig, caches: list | None = None
+    normalized: DataFrame,
+    cfg: BlockingConfig,
+    caches: list | None = None,
+    champions: bool = True,
 ) -> DataFrame:
     """normalized_pages → (block_key, url) LSH band membership.
 
@@ -111,7 +114,14 @@ def lsh_blocks(
     texts have identical band arrays, the UDF runs once map-side, and
     neither document text nor the 48x-larger exploded membership is
     ever shuffled.  Clusters still form transitively: clone → champion
-    (exact star) → near-dup neighbors (LSH)."""
+    (exact star) → near-dup neighbors (LSH).
+
+    ``champions=False`` bands EVERY document instead: the champion
+    dedup is only sound when exact_candidates supplies the
+    clone→champion star alongside — in an lsh-ONLY strategy config the
+    non-champion clones would otherwise get no candidate edges at all
+    and silently become singletons (round-2 ADVICE).  candidate_pairs
+    sets this from the strategy set."""
     tokens = H.tokens_col(F.col("norm_text"))
     th = H.token_hashes_col(tokens)
     band_udf = H.make_minhash_band_udf(
@@ -121,16 +131,19 @@ def lsh_blocks(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
     ).select("url", "text_md5", *(["domain"] if cfg.compose_domain else []),
              band_udf(th).alias("band_arr"))
-    champ_aggs = [
-        F.min("url").alias("url"),
-        F.first("band_arr").alias("band_arr"),  # identical across the md5 group
-    ]
-    if cfg.compose_domain:
-        champ_aggs.append(F.min_by("domain", "url").alias("domain"))
     cols = ["url"] + (["domain"] if cfg.compose_domain else [])
-    banded = raw.groupBy("text_md5").agg(*champ_aggs).select(
-        *cols, "band_arr"
-    ).persist()
+    if champions:
+        champ_aggs = [
+            F.min("url").alias("url"),
+            F.first("band_arr").alias("band_arr"),  # identical across the md5 group
+        ]
+        if cfg.compose_domain:
+            champ_aggs.append(F.min_by("domain", "url").alias("domain"))
+        banded = raw.groupBy("text_md5").agg(*champ_aggs).select(
+            *cols, "band_arr"
+        ).persist()
+    else:
+        banded = raw.select(*cols, "band_arr").persist()
     if caches is not None:
         caches.append(banded)
     exploded = banded.select(*cols, F.explode("band_arr").alias("band_hash"))
@@ -235,7 +248,10 @@ def rep_star_edges(bounded_members: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(
-    normalized: DataFrame, cfg: BlockingConfig, caches: list | None = None
+    normalized: DataFrame,
+    cfg: BlockingConfig,
+    caches: list | None = None,
+    champions: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """MinHash-LSH candidate pairs + block-split stats.
 
@@ -249,7 +265,9 @@ def lsh_candidates(
     here so the caller can unpersist once candidates are materialized —
     otherwise the caches outlive the blocking stage and pressure
     executor storage across pipeline runs."""
-    blocks = lsh_blocks(normalized, cfg, caches)  # persists pre-explode internally
+    blocks = lsh_blocks(
+        normalized, cfg, caches, champions=champions
+    )  # persists pre-explode internally
     members, stats = split_oversized_blocks(blocks, cfg)
     members = members.persist()
     if caches is not None:
@@ -276,7 +294,11 @@ def candidate_pairs(
     if "exact" in cfg.strategies:
         parts.append(exact_candidates(normalized))
     if "lsh" in cfg.strategies:
-        lsh, stats = lsh_candidates(normalized, cfg, caches)
+        # champion-per-md5 banding is only sound when the exact star
+        # edges accompany it; lsh-only configs must band every doc
+        lsh, stats = lsh_candidates(
+            normalized, cfg, caches, champions="exact" in cfg.strategies
+        )
         parts.append(lsh)
     if not parts:
         raise ValueError(f"no known blocking strategies in {cfg.strategies!r}")

@@ -71,6 +71,7 @@ def bounded_bucket_pairs(
     max_bucket_size: int = 2000,
     stats_out: list | None = None,
     count_matches: bool = False,
+    caches: list | None = None,
 ) -> DataFrame:
     """(bucket, id) membership → deduped candidate (id_a < id_b) pairs,
     with hot buckets split into bounded sub-buckets.
@@ -79,17 +80,31 @@ def bounded_bucket_pairs(
     bucket (e.g. thousands of identical boilerplate docs sharing every
     band, or a degenerate shingle) would otherwise produce O(k²) pairs.
     Buckets ≤ max_bucket_size self-join directly; larger buckets are
-    split round-robin by id-rank into ceil(k/max) sub-buckets
-    (all-pairs within each) and the sub-bucket minima are star-linked
-    so near-dup verification still sees cross-sub-bucket candidates.
-    Only the (tiny) hot-key set pays a sort; the long tail passes with
-    no window.  ``stats_out`` (a list, when given) receives the split
-    ledger DataFrame (bucket, bucket_size, n_subbuckets) — the
-    no-silent-caps record for callers that materialize it."""
-    # the membership is referenced by the hot-bucket count, both split
-    # branches, and the rep join — persist it or the (expensive)
-    # band/gram projections feeding it are recomputed per reference
+    split by an id-GLOBAL hash (``xxhash64(id) % n_sub``) into
+    ceil(k/max) sub-buckets (all-pairs within each) and the sub-bucket
+    minima are star-linked so downstream clustering still sees
+    cross-sub-bucket connectivity.  The hash assignment (vs the earlier
+    per-bucket rank round-robin) means a pair co-occurring in MANY hot
+    buckets lands in the same sub-index everywhere — cross-bucket pair
+    unions dedup to ~one bucket's worth, and band-agreement counts
+    (``count_matches``) aren't downward-biased by re-slicing.  No sort
+    anywhere: the long tail passes untouched, hot buckets pay two
+    aggregations.  ``stats_out`` (a list, when given) receives the
+    split ledger DataFrame (bucket, bucket_size, n_subbuckets) — the
+    no-silent-caps record for callers that materialize it.
+
+    ``count_matches`` returns (id_a, id_b, n_buckets) where n_buckets
+    counts GENUINE shared buckets only — artificial rep-star links are
+    attached with ``n_buckets = NULL`` (a sentinel: connectivity-only
+    pairs with no measurable agreement), never mixed into the count.
+
+    ``caches`` (when given) collects every frame persisted here so the
+    caller can unpersist after materializing; without it the persist
+    still happens (the membership is referenced by 3+ plan branches)
+    but lives until the caller clears the cache."""
     members = members.persist()
+    if caches is not None:
+        caches.append(members)
     hot = F.broadcast(
         members.groupBy("bucket")
         .agg(F.count("*").alias("bucket_size"))
@@ -99,32 +114,37 @@ def bounded_bucket_pairs(
     small = tagged.filter(F.col("bucket_size").isNull()).select(
         F.col("bucket").cast("string").alias("bucket"), "id"
     )
-    rank_w = Window.partitionBy("bucket").orderBy("id")
-    big = tagged.filter(F.col("bucket_size").isNotNull()).withColumn(
-        "rn", F.row_number().over(rank_w)
-    )
+    big = tagged.filter(F.col("bucket_size").isNotNull())
     n_sub = F.ceil(F.col("bucket_size") / max_bucket_size).cast("long")
-    sub = big.select(
+    sub_tagged = big.select(
+        F.col("bucket").cast("string").alias("base"),
         F.concat_ws(
-            "#", F.col("bucket").cast("string"), F.pmod(F.col("rn") - 1, n_sub)
+            "#",
+            F.col("bucket").cast("string"),
+            F.pmod(F.xxhash64(F.col("id")), n_sub),
         ).alias("bucket"),
         "id",
     )
-    # rank ≤ n_sub ⇔ sub-bucket minimum; rank 1 is the global minimum
-    roots = big.filter(F.col("rn") == 1).select("bucket", F.col("id").alias("root"))
+    sub = sub_tagged.select("bucket", "id")
+    # star links: each sub-bucket's min id points at the base bucket's
+    # global min (min of sub-mins) — n_sub−1 edges per hot bucket
+    reps = sub_tagged.groupBy("base", "bucket").agg(F.min("id").alias("rep"))
+    roots = big.groupBy(
+        F.col("bucket").cast("string").alias("base")
+    ).agg(F.min("id").alias("root"))
     rep_pairs = (
-        big.filter((F.col("rn") > 1) & (F.col("rn") <= n_sub))
-        .join(roots, "bucket")
-        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+        reps.join(roots, "base")
+        .filter(F.col("rep") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("rep").alias("id_b"))
     )
     if stats_out is not None:
         stats_out.append(
-            big.filter(F.col("rn") == 1)
-            .withColumn("n_subbuckets", n_sub)
-            .select(
+            hot.select(
                 F.col("bucket").cast("string").alias("bucket"),
                 "bucket_size",
-                "n_subbuckets",
+                F.ceil(F.col("bucket_size") / max_bucket_size)
+                .cast("long")
+                .alias("n_subbuckets"),
             )
         )
     bounded = small.unionByName(sub)
@@ -134,21 +154,52 @@ def bounded_bucket_pairs(
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .unionByName(rep_pairs)
     )
     if count_matches:
-        # (id_a, id_b, n_buckets): how many buckets the pair shares —
-        # the same dedup shuffle, with the count kept (callers estimate
-        # similarity from band agreement instead of re-joining payloads)
-        return raw.groupBy("id_a", "id_b").agg(
+        # (id_a, id_b, n_buckets): how many buckets the pair GENUINELY
+        # shares — the count falls out of the dedup shuffle the
+        # candidates already pay.  Rep-star links join anti against the
+        # counted set (reusing its (id_a, id_b) exchange) and attach
+        # with a NULL sentinel count.
+        counted = raw.groupBy("id_a", "id_b").agg(
             F.count("*").cast("int").alias("n_buckets")
         )
-    return raw.dropDuplicates(["id_a", "id_b"])
+        rep_only = rep_pairs.join(
+            counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        ).withColumn("n_buckets", F.lit(None).cast("int"))
+        return counted.unionByName(rep_only)
+    return raw.unionByName(rep_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+def _minhash_signatures(
+    documents: DataFrame,
+    shingle_size: int,
+    num_hashes: int,
+    id_col: str,
+    text_col: str,
+    caches: list | None,
+) -> DataFrame:
+    """(id, sig) MinHash signatures, persisted (the band explode and
+    any signature re-join both reference this frame)."""
+    tokens = H.tokens_col(F.lower(F.col(text_col)))
+    th = H.token_hashes_col(tokens)
+    sig = (
+        documents.select(F.col(id_col).alias("id"), th.alias("th"))
+        .withColumn(
+            "sig", H.make_minhash_udf(num_hashes, shingle_size)(F.col("th"))
+        )
+        .filter(F.col("sig").isNotNull())
+        .select("id", "sig")
+        .persist()
+    )
+    if caches is not None:
+        caches.append(sig)
+    return sig
+
 
 def minhash_near_duplicates(
     documents: DataFrame,
@@ -160,6 +211,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     max_bucket_size: int = 2000,
     estimator: str = "bands",
+    caches: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, est_jaccard) for near-duplicate pairs.
 
@@ -172,32 +224,33 @@ def minhash_near_duplicates(
       payload ever re-joins — round 1 shipped 2×num_hashes-long
       signature arrays per pair here.  At J=0.8 with 48×4 banding the
       estimate's σ ≈ 0.035, comparable to a 96-position signature
-      prefix.
+      prefix.  Rep-star links from hot-bucket splitting surface with
+      ``est_jaccard = NULL`` (connectivity-only sentinel — they carry
+      no band-agreement signal and are deliberately NOT filtered, so
+      downstream clustering keeps cross-sub-bucket connectivity).
     - ``"signature"``: the classic unbiased fraction-of-agreeing-
       positions estimate (σ ≈ 0.029 at J=0.8, 192 hashes); costs two
       joins shipping the signature arrays per pair.  Use when estimate
-      precision matters more than shuffle volume."""
+      precision matters more than shuffle volume.
+
+    For an exact (oracle-checkable) similarity per pair, use
+    ``minhash_verified_near_duplicates``."""
     rows = num_hashes // bands
-    tokens = H.tokens_col(F.lower(F.col(text_col)))
-    th = H.token_hashes_col(tokens)
-    sig = (
-        documents.select(F.col(id_col).alias("id"), th.alias("th"))
-        .withColumn(
-            "sig", H.make_minhash_udf(num_hashes, shingle_size)(F.col("th"))
-        )
-        .filter(F.col("sig").isNotNull())
-        .select("id", "sig")
+    sig = _minhash_signatures(
+        documents, shingle_size, num_hashes, id_col, text_col, caches
     )
     # Band join carries ONLY ids — the wide signature arrays stay out
     # of the band-duplicate shuffle in both estimator modes.
-    sig = sig.persist()
     bands_df = sig.select(
         "id",
         F.explode(H.lsh_band_hashes_col(F.col("sig"), bands, rows)).alias("bucket"),
     )
     if estimator == "bands":
         pairs = bounded_bucket_pairs(
-            bands_df, max_bucket_size=max_bucket_size, count_matches=True
+            bands_df,
+            max_bucket_size=max_bucket_size,
+            count_matches=True,
+            caches=caches,
         )
         est = F.pow(
             F.least(F.col("n_buckets"), F.lit(bands)).cast("double") / bands,
@@ -205,12 +258,17 @@ def minhash_near_duplicates(
         )
         return (
             pairs.withColumn("est_jaccard", est)
-            .filter(F.col("est_jaccard") >= min_jaccard)
+            .filter(
+                (F.col("est_jaccard") >= min_jaccard)
+                | F.col("n_buckets").isNull()
+            )
             .select("id_a", "id_b", "est_jaccard")
         )
     if estimator != "signature":
         raise ValueError(f"unknown estimator {estimator!r}")
-    pair_ids = bounded_bucket_pairs(bands_df, max_bucket_size=max_bucket_size)
+    pair_ids = bounded_bucket_pairs(
+        bands_df, max_bucket_size=max_bucket_size, caches=caches
+    )
     pairs = pair_ids.join(
         sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(
@@ -229,6 +287,77 @@ def minhash_near_duplicates(
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_verified_near_duplicates(
+    documents: DataFrame,
+    shingle_size: int = 2,
+    num_hashes: int = 192,
+    bands: int = 48,
+    min_jaccard: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 2000,
+    caches: list | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) near-duplicate pairs with EXACT shingle
+    Jaccard: MinHash-LSH generates the candidates (ids only through the
+    band shuffle), then the distinct word-shingle sets join back and
+    ``array_intersect``/``array_union`` compute the true Jaccard — pure
+    JVM, no estimate.
+
+    Precision is 1.0 by construction (every emitted pair is exactly
+    verified); recall is the LSH band recall — at min_jaccard 0.8 with
+    48 bands × 4 rows, P(miss) = (1 − J⁴)⁴⁸ ≈ 1e-11, i.e. ≈ 1.  This
+    makes the output equal to the full all-pairs Jaccard join with
+    near-certainty, which is what lets a DuckDB all-pairs oracle
+    value-check the whole signature→band→bucket-join pipeline
+    (__spark_entry__.py ``minhash_near_dup``); any gap *measures* LSH
+    recall rather than hiding it.  At scale the verify join ships one
+    distinct-gram array per doc side — bounded by doc length, and only
+    for candidate pairs (linear-ish), never all pairs."""
+    sig = _minhash_signatures(
+        documents, shingle_size, num_hashes, id_col, text_col, caches
+    )
+    rows = num_hashes // bands
+    bands_df = sig.select(
+        "id",
+        F.explode(H.lsh_band_hashes_col(F.col("sig"), bands, rows)).alias("bucket"),
+    )
+    pair_ids = bounded_bucket_pairs(
+        bands_df, max_bucket_size=max_bucket_size, caches=caches
+    )
+    tokens = H.tokens_col(F.lower(F.col(text_col)))
+    n = shingle_size
+    docs = documents.select(F.col(id_col).alias("id"), tokens.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        )
+    )
+    gram_docs = docs.select("id", grams.alias("grams")).persist()
+    if caches is not None:
+        caches.append(gram_docs)
+    pairs = pair_ids.join(
+        gram_docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
+        "id_a",
+    ).join(
+        gram_docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -252,6 +381,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 2000,
+    caches: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -264,6 +394,8 @@ def simhash_near_duplicates(
     # without persist Catalyst evaluates the simhash pandas UDF twice
     # (same pitfall as lsh_blocks; caller/bench clears the cache)
     sigs = simhash_signatures(documents, id_col, text_col).persist()
+    if caches is not None:
+        caches.append(sigs)
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = F.array(
@@ -287,7 +419,9 @@ def simhash_near_duplicates(
         ).alias("bucket"),
         "id",
     )
-    pair_ids = bounded_bucket_pairs(exploded, max_bucket_size=max_bucket_size)
+    pair_ids = bounded_bucket_pairs(
+        exploded, max_bucket_size=max_bucket_size, caches=caches
+    )
     pairs = pair_ids.join(
         sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")), "id_a"
     ).join(
@@ -313,6 +447,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int = 2000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard within min-gram-hash blocks.
 
@@ -353,7 +488,11 @@ def ngram_jaccard_pairs(
     )
     exploded = docs.select("id", F.explode(bands).alias("bucket"))
     docs = docs.persist()
-    pair_ids = bounded_bucket_pairs(exploded, max_bucket_size=max_bucket_size)
+    if caches is not None:
+        caches.append(docs)
+    pair_ids = bounded_bucket_pairs(
+        exploded, max_bucket_size=max_bucket_size, caches=caches
+    )
     pairs = pair_ids.join(
         docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
         "id_a",
@@ -457,6 +596,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 2000,
+    caches: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine ≥ min_cosine.
 
@@ -476,10 +616,14 @@ def embedding_near_duplicates(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("buckets", srp(F.col("v"))).persist()
+    if caches is not None:
+        caches.append(vecs)
     members = vecs.select("id", F.explode("buckets").alias("bucket")).select(
         "bucket", "id"
     )
-    pair_ids = bounded_bucket_pairs(members, max_bucket_size=max_bucket_size)
+    pair_ids = bounded_bucket_pairs(
+        members, max_bucket_size=max_bucket_size, caches=caches
+    )
     pairs = pair_ids.join(
         vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
     ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")

@@ -255,11 +255,21 @@ def evaluate_quality_gates(
     anomalies: DataFrame,
     run_id: str,
     cfg: QualityGateConfig,
+    llm_stats: dict | None = None,
 ) -> DataFrame:
-    """One QUALITY_GATE_RESULTS row per gate for this run."""
+    """One QUALITY_GATE_RESULTS row per gate for this run.
+
+    Four gates — reference parity with
+    /root/reference/entity_resolution_engine/config/quality_gates.yml:1-4
+    and qa/quality_gates.py:99-109: max_gray_zone_rate,
+    max_review_rate, no_high_severity_anomalies, max_llm_error_rate.
+    ``llm_stats`` is router.llm_run_stats' dict for the run (or None
+    when the LLM never ran — error rate 0.0, gate passes, matching the
+    reference's llm_call_count == 0 branch)."""
     high_count = anomalies.filter(
         (F.col("run_id") == run_id) & (F.col("severity") == "HIGH")
     ).count()
+    llm_error_rate = float((llm_stats or {}).get("llm_error_rate", 0.0))
     rates = run_rates_row.filter(F.col("run_id") == run_id)
 
     gates = rates.select(
@@ -287,6 +297,13 @@ def evaluate_quality_gates(
                     F.lit(
                         (high_count == 0) or not cfg.fail_on_high_severity_anomalies
                     ).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("max_llm_error_rate").alias("gate"),
+                    F.lit(llm_error_rate).alias("value"),
+                    F.lit(cfg.max_error_rate).alias("bound"),
+                    # reference qa/quality_gates.py:108 fails on strict >
+                    F.lit(llm_error_rate <= cfg.max_error_rate).alias("passed"),
                 ),
             )
         ).alias("g"),

@@ -92,8 +92,20 @@ def conflict_flags(scored: DataFrame, cfg: ScoringConfig | None = None) -> F.Col
 
 
 def route_pairs(scored: DataFrame, cfg: ScoringConfig, run_id: str) -> DataFrame:
-    """scored pairs → + decision, routed_status, conflicts columns."""
-    flagged = scored.withColumn("conflicts", conflict_flags(scored, cfg))
+    """scored pairs → + decision, routed_status, conflicts columns.
+
+    Exact-strategy pairs (byte-identical norm_text) skip the metadata
+    conflict flags entirely: identical text is identical regardless of
+    crawl-timestamp gap or url domain, so demoting a clone pair to the
+    gray zone on metadata would only break exact-dedup transitivity
+    (round-2 ADVICE — previously a clone crawled > max_warc_ts_gap_days
+    apart routed gray and never clustered)."""
+    flags = conflict_flags(scored, cfg)
+    if "strategy" in scored.columns:
+        flags = F.when(
+            F.col("strategy") == "exact", F.array().cast("array<string>")
+        ).otherwise(flags)
+    flagged = scored.withColumn("conflicts", flags)
     decision = (
         F.when(F.col("score") < cfg.threshold_low, F.lit("rejected"))
         .when(
@@ -155,7 +167,7 @@ def reviews_query(
 
     Filters compose as plain Catalyst predicates, so reading from a
     parquet/catalog snapshot pushes them into the scan (pinned by
-    test_router.test_reviews_query_pushdown).  Ordering is
+    test_pipeline_e2e.test_reviews_query_pushdown).  Ordering is
     matcher_score DESC with a deterministic (url_a, url_b) tie-break —
     the reference orders by created_at DESC, which the engine's
     append-time score ordering stands in for."""
@@ -330,24 +342,33 @@ def llm_validate_sample(
         .limit(cfg.max_llm_calls_per_run)
         .collect()
     )
-    breaker_window = 50  # reference llm_validation.yml circuit_breaker.window
-    window: list[bool] = []
+    # rolling window of (success, invalid_json_retry) outcomes.
+    # Reference parity (validation/router.py:133-160): the breaker can
+    # only open once the window is FULL (a cold-start failure must not
+    # permanently disable validation), and it opens on EITHER rate —
+    # fail_rate ≥ max_fail_rate OR invalid_json_retry rate ≥
+    # max_invalid_json_rate.  A stream of successfully-retried invalid
+    # JSON trips the second trigger even though every call "succeeds"
+    # (the round-2 parity gap).
+    window: list[tuple[bool, bool]] = []
     out = []
     for row in sample:
-        # reference parity (router.py:148-160): the breaker can only
-        # open once the rolling window is FULL — a cold-start failure
-        # must not permanently disable validation
-        if len(window) >= breaker_window:
-            fail_rate = sum(1 for w in window if not w) / len(window)
-            if fail_rate >= 0.2:
+        if len(window) >= cfg.llm_breaker_window:
+            fail_rate = sum(1 for ok, _ in window if not ok) / len(window)
+            invalid_rate = sum(1 for _, inv in window if inv) / len(window)
+            if (
+                fail_rate >= cfg.llm_breaker_max_fail_rate
+                or invalid_rate >= cfg.llm_breaker_max_invalid_json_rate
+            ):
                 break  # breaker open → remaining pairs take the fallback path
             window.pop(0)
         try:
             verdict = validate_fn(row.asDict())
-            window.append(True)
+            invalid_retry = "llm_invalid_json_retry" in verdict.get("risk_flags", [])
+            window.append((True, invalid_retry))
             out.append({"url_a": row.url_a, "url_b": row.url_b, **verdict})
         except Exception as exc:  # error → REVIEW, matches reference llm_validator.py:34-66
-            window.append(False)
+            window.append((False, False))
             out.append(
                 {
                     "url_a": row.url_a,
@@ -357,3 +378,27 @@ def llm_validate_sample(
                 }
             )
     return out
+
+
+def llm_run_stats(results: list[dict]) -> dict[str, float]:
+    """Counters the reference derives from a validation sweep
+    (validation/router.py:110-117): calls, errors, invalid-JSON
+    retries.  Feeds the ``max_llm_error_rate`` quality gate
+    (metrics.evaluate_quality_gates) — llm_error_rate =
+    errors / calls, 0.0 when the LLM never ran."""
+    calls = len(results)
+    errors = sum(
+        1
+        for r in results
+        if r.get("error") is not None
+        or "llm_error" in (r.get("risk_flags") or [])
+    )
+    retries = sum(
+        1 for r in results if "llm_invalid_json_retry" in (r.get("risk_flags") or [])
+    )
+    return {
+        "llm_calls": float(calls),
+        "llm_errors": float(errors),
+        "llm_invalid_json_retries": float(retries),
+        "llm_error_rate": (errors / calls) if calls else 0.0,
+    }

@@ -44,18 +44,26 @@ def score_pairs(
     # ≤ match_key_chars bytes — at 100 TB the join's byte volume, not
     # the Python, is the bill.
     key = F.substring(F.col("norm_text"), 1, cfg.match_key_chars)
+    # full-document length travels as a cheap JVM long next to the
+    # truncated key: length_ratio computed inside the UDF from the
+    # truncated inputs saturates at 1.0 whenever both docs exceed
+    # match_key_chars — exactly the long-document cases the
+    # length_mismatch conflict flag exists for (round-2 ADVICE)
     side = normalized.select(
-        "url", key.alias("mk"), "lang", "warc_ts"
+        "url", key.alias("mk"), F.length("norm_text").alias("nlen"),
+        "lang", "warc_ts"
     )
     a = side.select(
         F.col("url").alias("url_a"),
         F.col("mk").alias("norm_a"),
+        F.col("nlen").alias("len_a"),
         F.col("lang").alias("lang_a"),
         F.col("warc_ts").alias("ts_a"),
     )
     b = side.select(
         F.col("url").alias("url_b"),
         F.col("mk").alias("norm_b"),
+        F.col("nlen").alias("len_b"),
         F.col("lang").alias("lang_b"),
         F.col("warc_ts").alias("ts_b"),
     )
@@ -74,6 +82,14 @@ def score_pairs(
     def _feat(name: str) -> F.Column:
         return F.when(is_exact, F.lit(1.0)).otherwise(F.col(f"f.{name}")).alias(name)
 
+    # length_ratio comes from the FULL norm_text lengths (JVM columns),
+    # not the UDF's truncated inputs — same min/max semantics as
+    # similarity.length_ratio (0.0 when either side is empty)
+    full_length_ratio = F.when(
+        (F.col("len_a") > 0) & (F.col("len_b") > 0),
+        F.least("len_a", "len_b").cast("double") / F.greatest("len_a", "len_b"),
+    ).otherwise(F.lit(0.0))
+
     feats = enriched.withColumn(
         "f", pair_features_udf(norm_a_in, norm_b_in)
     ).select(
@@ -87,7 +103,9 @@ def score_pairs(
         _feat("jaro_winkler"),
         _feat("token_jaccard"),
         _feat("levenshtein_sim"),
-        _feat("length_ratio"),
+        F.when(is_exact, F.lit(1.0)).otherwise(full_length_ratio).alias(
+            "length_ratio"
+        ),
     )
     raw = (
         cfg.w_jaro_winkler * F.col("jaro_winkler")

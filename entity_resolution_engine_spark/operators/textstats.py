@@ -137,3 +137,45 @@ def document_fingerprints(documents: DataFrame, text_col: str = "text") -> DataF
     return documents.select(
         "doc_id", winnow_fingerprint_udf(F.col(text_col)).alias("fingerprints")
     )
+
+
+def document_fingerprints_md5(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fingerprint) — winnowing (Schleimer et al., SIGMOD'03)
+    with an md5-derived k-gram hash, pure JVM expressions.
+
+    Same selection semantics as ``winnow_fingerprint`` (min of every
+    sliding ``window`` of k-gram hashes, distinct values; one global
+    min when fewer than ``window`` grams; no rows when len < k), but
+    the per-gram hash is the first 15 hex chars of md5 read as a
+    60-bit integer instead of the numpy polynomial hash — DuckDB
+    reproduces md5 byte-for-byte, so the driver oracle value-checks
+    the whole gram→window-min→distinct pipeline
+    (__spark_entry__.py ``doc_fingerprints``).  The xxhash winnowing
+    UDF remains the production path (one numpy pass per Arrow batch vs
+    O(len) interpreted md5 calls per doc here); this variant is the
+    SQL-parity twin, the same pattern as ngram_jaccard's md5 bands.
+    Emits one row per distinct (doc_id, fingerprint)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    docs = documents.filter(n >= k).select("doc_id", gram_hashes.alias("h"))
+    m = F.size("h")
+    mins = F.when(m <= window, F.array(F.array_min("h"))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - (window - 1)),
+            lambda i: F.array_min(F.slice("h", i, window)),
+        )
+    )
+    return (
+        docs.select("doc_id", F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )

@@ -57,14 +57,18 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Shuffle/spill dirs on tmpfs when available: this sandbox's /tmp
-    # sits on a throttled virtio disk, which serializes every shuffle
-    # write regardless of core count (measured: the block+score phase
-    # ran 119s at BOTH local[8] and local[32] with /tmp spills — zero
-    # scaling).  On a real cluster this is the NVMe local-disk conf.
+    # Shuffle/spill dirs on tmpfs, OPT-IN via SPARK_GRAFT_LOCAL_DIR:
+    # this sandbox's /tmp sits on a throttled virtio disk, which
+    # serializes every shuffle write regardless of core count
+    # (measured: the block+score phase ran 119s at BOTH local[8] and
+    # local[32] with /tmp spills — zero scaling), so the repo's own
+    # entry points (bench.py, scripts/bench_scaling.py, tests) set the
+    # env var to /dev/shm/spark-local.  The library itself defaults to
+    # Spark's disk-backed spill dirs: an unconditional tmpfs redirect
+    # would ENOSPC any real deployment whose shuffle spill exceeds the
+    # tmpfs (typically 50% of RAM) — round-2 ADVICE.  On a real
+    # cluster this is the NVMe local-disk conf.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

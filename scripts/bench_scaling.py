@@ -21,6 +21,10 @@ import subprocess
 import sys
 import tempfile
 
+if os.path.isdir("/dev/shm"):
+    # children inherit the env; session.py's tmpfs redirect is opt-in
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 250000
 LEVELS = (8, 32)
 # The sandbox host oscillates between performance regimes on a scale of

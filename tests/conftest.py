@@ -1,8 +1,14 @@
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
+
+if os.path.isdir("/dev/shm"):
+    # sandbox: /tmp is a throttled virtio disk; shuffle spills must not
+    # serialize on it (session.py reads this env var — opt-in there)
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
 
 sys.path.insert(0, "/root/repo")
 

@@ -180,3 +180,38 @@ def test_hot_lsh_block_bounded_and_connected(spark):
         all_nodes=df.select("url"),
     )
     assert assign.select("cluster_id").distinct().count() == 1
+
+
+def test_lsh_only_strategy_keeps_exact_clones_connected(spark):
+    """lsh-ONLY configs must band every clone (no champion dedup):
+    without the exact star, champion-per-md5 banding would leave
+    non-champion clones as silent singletons (round-2 ADVICE)."""
+    from entity_resolution_engine_spark.operators.cluster import (
+        connected_components,
+    )
+    from entity_resolution_engine_spark.operators.normalize_stage import (
+        normalize_pages,
+    )
+
+    text = "shared boilerplate body with enough words to shingle and band properly"
+    rows = [(f"https://s{i}.org/p", text) for i in range(4)] + [
+        ("https://z.org/other", "a completely unrelated document about different topics entirely")
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text"]).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    normalized = normalize_pages(pages).cache()
+    pairs, _ = candidate_pairs(normalized, BlockingConfig(strategies=("lsh",)))
+    assign = connected_components(
+        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
+        all_nodes=normalized.select("url"),
+    )
+    clusters = {r.url: r.cluster_id for r in assign.collect()}
+    clones = {clusters[f"https://s{i}.org/p"] for i in range(4)}
+    assert len(clones) == 1, f"clones split across clusters: {clusters}"
+    assert clusters["https://z.org/other"] not in clones
+    normalized.unpersist()

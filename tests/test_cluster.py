@@ -71,14 +71,18 @@ def test_resume_from_checkpoint_table(spark, tmp_path):
     assert not cat.exists("cc_a")  # cleaned up after convergence
 
     # simulate a kill mid-clustering: commit a partially-contracted edge
-    # set (one large-star/small-star round applied) as the checkpoint
+    # set (one large-star/small-star round applied) in the surrogate-id
+    # space plus the url↔id map — the on-disk checkpoint format
     from entity_resolution_engine_spark.operators.cluster import (
+        edges_to_ids,
         large_star,
+        node_id_map,
         small_star,
     )
 
-    partial = small_star(large_star(e))
+    partial = small_star(large_star(edges_to_ids(e)))
     cat.write("cc_b", partial)
+    cat.write("cc_b_idmap", node_id_map(e))
     got = {
         r.url: r.cluster_id
         for r in connected_components(

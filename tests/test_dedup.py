@@ -117,3 +117,59 @@ def test_embedding_near_dup_recall_vs_brute_force(spark):
     assert got <= truth  # exact cosine verify ⇒ precision 1.0
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, f"recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_minhash_verified_exact_jaccard(docs):
+    """The verified variant emits the TRUE shingle Jaccard per pair —
+    exact dups at 1.0, the near dup at its real overlap."""
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.minhash_verified_near_duplicates(
+            docs, shingle_size=2, num_hashes=128, bands=32, min_jaccard=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    # near dup: 13 2-shingles per doc, 2 differ ("the lazy"/"lazy dog" vs
+    # "the sleepy"/"sleepy dog") -> |inter|=11, |union|=15
+    assert abs(pairs[(1, 3)] - 11 / 15) < 1e-9
+    assert not any(4 in p for p in pairs)
+
+
+def test_dedup_cache_ledgers_release_storage(spark, docs):
+    """Every standalone dedup/LSH op threads a `caches` ledger; after
+    materialize + unpersist nothing lingers in executor storage
+    (round-2 verdict item 7)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    # other session-scoped fixtures legitimately keep caches — assert
+    # no NEW persistent RDDs survive, not that storage is globally empty
+    baseline = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    ops = [
+        lambda c: DD.minhash_near_duplicates(
+            docs, num_hashes=64, bands=16, min_jaccard=0.5, caches=c
+        ),
+        lambda c: DD.minhash_verified_near_duplicates(
+            docs, num_hashes=64, bands=16, min_jaccard=0.5, caches=c
+        ),
+        lambda c: DD.simhash_near_duplicates(docs, caches=c),
+        lambda c: DD.ngram_jaccard_pairs(docs, caches=c),
+        lambda c: DD.embedding_near_duplicates(
+            emb, dim=8, min_cosine=0.9, caches=c
+        ),
+    ]
+    for op in ops:
+        caches: list = []
+        op(caches).count()
+        assert caches, "op registered no cached frames"
+        for frame in caches:
+            frame.unpersist()
+        leaked = (
+            set(spark.sparkContext._jsc.getPersistentRDDs().keySet()) - baseline
+        )
+        assert not leaked, (
+            f"persistent RDDs leaked after unpersisting the ledger: {leaked}"
+        )

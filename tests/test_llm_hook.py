@@ -181,3 +181,39 @@ def test_transport_plugs_into_sample_loop(spark):
     out = llm_validate_sample(routed, cfg, transport=transport)
     assert len(out) == 5
     assert all(o["decision"] == "MATCH" for o in out)
+
+
+def test_circuit_breaker_opens_on_invalid_json_rate_alone(spark):
+    # reference validation/router.py:148-160: the breaker opens on
+    # invalid_json_retry rate >= 0.1 even when every call SUCCEEDS
+    # (the retried responses parse on the second attempt)
+    cfg = replace(CFG, llm_enabled=True, max_llm_calls_per_run=100)
+    routed = _routed(spark, n_gray=100)
+    n = {"i": 0}
+
+    def fn(pair):
+        n["i"] += 1
+        flags = ["llm_invalid_json_retry"] if n["i"] % 5 == 0 else []
+        # 20% invalid-retry rate >= 0.1 threshold, 0% fail rate
+        return {"status": "APPROVE", "risk_flags": flags}
+
+    out = llm_validate_sample(routed, cfg, validate_fn=fn)
+    assert len(out) == 50  # opens exactly when the window fills
+    assert all(o["status"] == "APPROVE" for o in out)  # no failures
+
+
+def test_llm_run_stats_counts():
+    from entity_resolution_engine_spark.operators.router import llm_run_stats
+
+    results = [
+        {"status": "APPROVE", "risk_flags": []},
+        {"status": "REVIEW", "error": '"boom"'},
+        {"status": "APPROVE", "risk_flags": ["llm_invalid_json_retry"]},
+        {"decision": "REVIEW", "risk_flags": ["llm_error"]},
+    ]
+    s = llm_run_stats(results)
+    assert s["llm_calls"] == 4.0
+    assert s["llm_errors"] == 2.0  # error row + llm_error flag
+    assert s["llm_invalid_json_retries"] == 1.0
+    assert s["llm_error_rate"] == 0.5
+    assert llm_run_stats([])["llm_error_rate"] == 0.0

@@ -131,3 +131,30 @@ def test_triage_report_no_anomalies(spark):
     rep = triage_report(empty, None, "r9")
     assert rep["max_severity"] == "NONE" and rep["n_anomalies"] == 0
     assert "No anomalies" in rep["report"]
+
+
+def test_quality_gates_four_rows_with_llm_gate(spark):
+    # reference quality_gates.yml has FOUR gates; max_llm_error_rate
+    # evaluates llm_errors/llm_calls (0.0 when the LLM never ran)
+    h = _router_metrics_row(spark, "r3", 100, 95, 0, 5, 0)
+    rates = derive_run_rates(h)
+    empty_anoms = spark.createDataFrame([], "run_id string, severity string")
+    gates = {
+        g.gate: g
+        for g in evaluate_quality_gates(
+            rates, empty_anoms, "r3", QualityGateConfig()
+        ).collect()
+    }
+    assert len(gates) == 4
+    assert gates["max_llm_error_rate"].passed is True
+    assert gates["max_llm_error_rate"].value == 0.0
+
+    failing = {
+        g.gate: g
+        for g in evaluate_quality_gates(
+            rates, empty_anoms, "r3", QualityGateConfig(),
+            llm_stats={"llm_error_rate": 0.5},
+        ).collect()
+    }
+    assert failing["max_llm_error_rate"].passed is False  # 0.5 > 0.05
+    assert failing["max_llm_error_rate"].value == 0.5

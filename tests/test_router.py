@@ -139,3 +139,29 @@ def test_review_signals_carry_conflicts(spark):
     routed = route_pairs(df, cfg, "r1")
     item = review_items(routed, "r1").collect()[0]
     assert _json.loads(item.signals)["conflicts"] == ["lang_mismatch"]
+
+
+def test_exact_pairs_skip_metadata_conflict_flags(spark):
+    """Byte-identical clone pairs must cluster regardless of crawl-ts
+    gap / lang metadata (round-2 ADVICE): conflict flags only apply to
+    similarity-matched (lsh) pairs."""
+    rows = [
+        # exact clone crawled 400 days apart + lang metadata mismatch
+        ("https://a.org/1", "https://a.org/2", 1.0, "en", "fr", _ts(0), _ts(400), 1.0, "exact"),
+        # identical metadata conflicts on an lsh pair still route gray
+        ("https://a.org/3", "https://a.org/4", 0.9, "en", "fr", _ts(0), _ts(400), 1.0, "lsh"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_a string, url_b string, score double, lang_a string, "
+        "lang_b string, ts_a timestamp, ts_b timestamp, "
+        "length_ratio double, strategy string",
+    ).select(
+        "*",
+        F.lit(0.9).alias("jaro_winkler"),
+        F.lit(0.9).alias("token_jaccard"),
+        F.lit(0.9).alias("levenshtein_sim"),
+    )
+    got = {r.url_a: (r.decision, sorted(r.conflicts)) for r in route_pairs(df, CFG, "r").collect()}
+    assert got["https://a.org/1"] == ("approved", [])
+    assert got["https://a.org/3"] == ("gray", ["lang_mismatch", "warc_ts_gap"])
