@@ -38,7 +38,7 @@ composite before trusting a single hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import TableCatalog
@@ -52,13 +52,24 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 def large_star(edges: DataFrame) -> DataFrame:
     """For each node u: m = min(u ∪ neighbors); emit (v, m) for each
     neighbor v > u.  Returns a directed edge set (src > dst invariant
-    not yet guaranteed — small_star restores it)."""
+    not yet guaranteed — small_star restores it).
+
+    The per-node minimum is a WINDOW aggregate, not groupBy+self-join:
+    each star operator then references its input ONCE, so the logical
+    tree of k composed rounds grows ~2^k instead of ~3^k.  That is a
+    DRIVER-scaling fix, measured, not style: ``localCheckpoint`` runs
+    full Catalyst analysis/optimization on the composed plan each
+    iteration, and with the join formulation that planning step cost
+    6–12 s of pure serial driver time per iteration at rounds_per_check
+    =2 — dwarfing the sub-second executor jobs and dominating the CC
+    stage's Amdahl share (BASELINE.md round-3 ledger).  The window also
+    drops one runtime exchange per star (agg + join → one partition-
+    by-src sort)."""
     sym = _symmetrize(edges)
-    m = sym.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
-    )
+    w = Window.partitionBy("src")
+    m = F.least(F.min("dst").over(w), F.col("src"))
     return (
-        sym.join(m, "src")
+        sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .distinct()
@@ -68,24 +79,30 @@ def large_star(edges: DataFrame) -> DataFrame:
 def small_star(edges: DataFrame) -> DataFrame:
     """Orient edges toward the smaller endpoint, then for each node u:
     m = min(u ∪ smaller-neighbors); emit (v, m) for v in neighbors ∪ {u},
-    v ≠ m."""
+    v ≠ m.
+
+    Same single-input-reference window shape as large_star (see its
+    docstring for the driver-planning rationale); the neighbor and
+    self emissions come from ONE explode instead of a union, which
+    also sidesteps Spark 4.1's union-constraint rewrite on shared
+    attribute ids."""
     directed = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    m = directed.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
+    w = Window.partitionBy("src")
+    # all dst < src here, so min(dst ∪ {src}) = min(dst); least() kept
+    # for clarity with the algorithm statement
+    withm = directed.withColumn(
+        "m", F.least(F.min("dst").over(w), F.col("src"))
     )
-    nbrs = directed.join(m, "src").select(
-        F.col("dst").alias("v"), F.col("m"), F.col("src").alias("u")
-    )
-    self_edges = m.select(F.col("src").alias("v"), F.col("m"), F.col("src").alias("u"))
-    out = (
-        nbrs.unionByName(self_edges)
+    return (
+        withm.select(
+            F.explode(F.array(F.col("dst"), F.col("src"))).alias("v"), F.col("m")
+        )
         .filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .distinct()
     )
-    return out
 
 
 def node_id_map(edges: DataFrame, all_nodes: DataFrame | None = None) -> DataFrame:
@@ -129,6 +146,7 @@ def connected_components(
     checkpoint_table: str = "_cc_edges",
     rounds_per_check: int = 2,
     check_id_collisions: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) → assignments(url, cluster_id).
 
@@ -145,7 +163,13 @@ def connected_components(
     The star fixed point is stable under composition, so checking every
     k-th round costs at most k−1 no-op rounds after convergence in
     exchange for k× fewer sync points.
+
+    ``stats_out`` (a dict, when given) receives the iteration ledger:
+    star rounds run, driver sync points paid, per-sync wall times, and
+    the final edge count — the Amdahl accounting for the scaling
+    analysis in BASELINE.md.
     """
+    import time as _time
     spark = edges.sparkSession
     idmap_table = checkpoint_table + "_idmap"
     resumed = catalog is not None and catalog.exists(checkpoint_table)
@@ -184,19 +208,27 @@ def connected_components(
     prev_conf = spark.conf.get(_CONF, "true")
     spark.conf.set(_CONF, "false")
     try:
-        # lazy localCheckpoint: the signature aggregation right after is
-        # the materializing action, so each round costs ONE job (an
-        # eager checkpoint would add a second full pass — pure serial
-        # driver time multiplied by the iteration count)
+        # lazy localCheckpoint: the signature aggregation after the
+        # first batch of star rounds is the materializing action, so
+        # each sync point costs ONE job (an eager checkpoint would add
+        # a second full pass — pure serial driver time multiplied by
+        # the iteration count).  No up-front signature of the INPUT
+        # either: real edge sets are never already-converged, so the
+        # baseline pass was a wasted sync — convergence compares
+        # consecutive post-round signatures instead.
         cur = cur.localCheckpoint(eager=False)
-        prev_sig = _signature(cur)
+        prev_sig: tuple[int, int] | None = None
+        sig = (0, 0)
+        sync_walls: list[float] = []
 
         for it in range(max_iterations):
             nxt = cur
             for _ in range(max(1, rounds_per_check)):
                 nxt = small_star(large_star(nxt))
             nxt = nxt.localCheckpoint(eager=False)
+            t0 = _time.monotonic()
             sig = _signature(nxt)
+            sync_walls.append(_time.monotonic() - t0)
             if catalog is not None and (it + 1) % checkpoint_every == 0:
                 if not idmap_committed:
                     # written BEFORE the first edge commit so any edge
@@ -212,6 +244,15 @@ def connected_components(
         else:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} iterations"
+            )
+        if stats_out is not None:
+            stats_out.update(
+                {
+                    "sync_points": len(sync_walls),
+                    "star_rounds": len(sync_walls) * max(1, rounds_per_check),
+                    "sync_wall_secs": [round(w, 3) for w in sync_walls],
+                    "final_edges": sig[0],
+                }
             )
     finally:
         spark.conf.set(_CONF, prev_conf)

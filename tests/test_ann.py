@@ -98,3 +98,23 @@ def test_ivf_training_has_no_global_sort(spark, vectors):
     c1 = train_centroids(df, DIM, nlist=8, sample=64)
     c2 = train_centroids(df.repartition(7), DIM, nlist=8, sample=64)
     assert np.allclose(c1, c2)
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark, vectors):
+    """nprobe = nlist ⇒ every query probes every cell ⇒ IVF output must
+    equal brute force EXACTLY (values, ranks, tie-breaks).  This is the
+    configuration the driver's ann_ivf oracle value-checks; the pytest
+    keeps the invariant pinned locally."""
+    df, _ = vectors
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in brute_force_topk(df, queries, k=8).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in ivf_topk(df, queries, dim=DIM, k=8, nlist=8, nprobe=8).collect()
+    }
+    assert ivf == bf
