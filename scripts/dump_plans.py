@@ -56,6 +56,29 @@ def main() -> None:
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     out.append(f"\n## ann_ivf centroid training sample\n\n```\n{plan.strip()}\n```\n")
+
+    # CC star round: the plan must compute per-node minima as a WINDOW
+    # over one exchange — no groupBy+self-join pair per star operator
+    # (round-3: the join formulation tripled the logical tree per round
+    # and made localCheckpoint's Catalyst pass the dominant serial cost)
+    from pyspark.sql import functions as F
+
+    from entity_resolution_engine_spark.operators.cluster import (
+        edges_to_ids,
+        large_star,
+        small_star,
+    )
+
+    toy = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    round_df = small_star(large_star(edges_to_ids(toy)))
+    plan = round_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    out.append(
+        f"\n## connected_components star round (large_star ∘ small_star)\n\n```\n{plan.strip()}\n```\n"
+    )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
