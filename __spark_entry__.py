@@ -497,6 +497,75 @@ def q_er_resolve_documents(spark, sf):
     return resolve_documents(spark, docs)
 
 
+def _planted_cluster_documents(spark, sf):
+    """documents → a planted-cluster corpus whose TRUE clustering is
+    SQL-derivable, for value-checking the full-LSH flagship
+    (VERDICT r3 item 1 — the er_resolve_exact construction one tier up):
+
+    - every doc becomes a cluster of csize ∈ {1,2,3} members (csize is
+      md5-derived from doc_id, so DuckDB reproduces it — the same trick
+      as media_inventory's ``kind``);
+    - member texts use DOC-DISJOINT vocabularies: each token is
+      prefixed ``d{doc_id}x``, so cross-doc token/shingle overlap is
+      exactly zero — a cross-doc merge is structurally impossible (any
+      stray LSH band collision scores token_jaccard 0 → rejected), and
+      the true clustering IS the planted one;
+    - member 1 is an exact clone (exercises the md5-star exact
+      strategy); member 2 drops every 40th token (~2.5%, shingle
+      Jaccard ≈ 0.93 — far above the 48x4 LSH S-curve knee at 0.55 and
+      the scoring thresholds), so the MinHash→band→bucket-join→score→
+      route→CC path is what connects it;
+    - docs with no alphanumeric content normalize to empty text and
+      become per-member singletons (same rule er_resolve_exact pins).
+
+    The DuckDB oracle then needs NO text processing at all: cluster_id
+    = the midx-0 member's url per doc (or own url for empty docs),
+    n_members = csize — pure arithmetic over doc_id/source."""
+    docs = _t(spark, sf, "documents")
+    csize = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"),
+            F.lit(3),
+        )
+        + 1
+    ).cast("int")
+    m = docs.select("doc_id", "text", "lang", "source", csize.alias("csize"))
+    m = m.withColumn("midx", F.explode(F.sequence(F.lit(0), F.col("csize") - 1)))
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: F.regexp_replace(t, "[^0-9a-z]", ""),
+        ),
+        lambda t: t != "",
+    )
+    pref = F.transform(
+        toks,
+        lambda t: F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit("x"), t),
+    )
+    mut = F.when(
+        F.col("midx") == 2,
+        F.filter(pref, lambda t, i: F.pmod(i + F.lit(1), F.lit(40)) != 0),
+    ).otherwise(pref)
+    # text is materialized BEFORE doc_id is re-aliased: the lambda's
+    # outer reference to doc_id resolves in a later analyzer phase and
+    # would otherwise bind to the RENAMED doc_id in the same projection
+    m = m.withColumn("member_text", F.concat_ws(" ", mut))
+    return m.select(
+        (F.col("doc_id") * 10 + F.col("midx")).alias("doc_id"),
+        F.col("member_text").alias("text"),
+        "lang",
+        "source",
+        F.length("member_text").alias("n_chars"),
+    )
+
+
+def q_er_resolve_planted(spark, sf):
+    # full DEFAULT config (exact + LSH blocking) — the composed
+    # LSH → score → route → CC path is what the oracle value-checks
+    return resolve_documents(spark, _planted_cluster_documents(spark, sf))
+
+
 def q_er_resolve_exact(spark, sf):
     # The flagship resolve in its exact-only blocking configuration:
     # normalize → md5 star edges → route → connected components.  The
@@ -551,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_page_metrics": q_windowed_page_metrics,
         "er_resolve_documents": q_er_resolve_documents,
         "er_resolve_exact": q_er_resolve_exact,
+        "er_resolve_planted": q_er_resolve_planted,
     }
 
 
@@ -934,10 +1004,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, cluster_id, "
             "count(*) OVER (PARTITION BY cluster_id) AS n_members FROM assigned"
         ),
+        "er_resolve_planted": (
+            # full-LSH flagship on the planted corpus: the member texts
+            # use doc-disjoint vocabularies, so the true clustering is
+            # pure doc_id arithmetic — cluster_id = the midx-0 member's
+            # url, n_members = the md5-derived csize; docs with no
+            # alphanumeric content normalize empty → per-member
+            # singletons.  Any flagship recall or precision miss
+            # (blocking, scoring, routing, OR connected components)
+            # shows up as a value mismatch here.
+            "WITH d AS (SELECT doc_id, source, "
+            "  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 3) + 1 "
+            "    AS csize, "
+            "  coalesce(regexp_matches(lower(text), '[0-9a-z]'), FALSE) AS has_tok "
+            "FROM documents), mem AS ("
+            "SELECT doc_id, source, csize, has_tok, "
+            "  unnest(range(csize)) AS midx FROM d) "
+            "SELECT 'doc://' || source || '/' || (doc_id * 10 + midx)::VARCHAR "
+            "    AS url, "
+            "  CASE WHEN has_tok "
+            "    THEN 'doc://' || source || '/' || (doc_id * 10)::VARCHAR "
+            "    ELSE 'doc://' || source || '/' || (doc_id * 10 + midx)::VARCHAR "
+            "  END AS cluster_id, "
+            "  (CASE WHEN has_tok THEN csize ELSE 1 END)::BIGINT AS n_members "
+            "FROM mem"
+        ),
         # simhash_near_dup (engine-side xxhash64+UDF signature — no
         # SQL twin), media_features (float feature vectors from a
         # blake2b-seeded RNG), er_resolve_documents (full-LSH flagship:
-        # engine MinHash banding; its exact-config spine IS value-
-        # checked by er_resolve_exact): rows-only by design, each
-        # documented at its query.
+        # engine MinHash banding; its composed LSH→score→route→CC path
+        # IS value-checked by er_resolve_planted on the planted-cluster
+        # corpus, and its exact-config spine by er_resolve_exact):
+        # rows-only by design, each documented at its query.
     }

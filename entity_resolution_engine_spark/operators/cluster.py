@@ -172,7 +172,15 @@ def connected_components(
     import time as _time
     spark = edges.sparkSession
     idmap_table = checkpoint_table + "_idmap"
-    resumed = catalog is not None and catalog.exists(checkpoint_table)
+    # resume needs BOTH the edge checkpoint and its id-map sidecar — a
+    # checkpoint left by a pre-surrogate build (string edges, no
+    # sidecar) must restart from the raw edges instead of crashing on a
+    # missing table mid-recovery (ADVICE r3)
+    resumed = (
+        catalog is not None
+        and catalog.exists(checkpoint_table)
+        and catalog.exists(idmap_table)
+    )
     if resumed:
         # iteration state is self-contained: long edges + the id map
         # committed alongside them (the raw ``edges`` arg is ignored)
@@ -268,7 +276,29 @@ def connected_components(
     ).withColumn("root", F.col("id"))
     assign_ids = child.unionByName(root_self)
 
-    assigned = assign_ids.join(id_map, "id")
+    # LEFT join + per-row guard: an edge endpoint absent from the id
+    # map (an ``all_nodes`` that does not cover every endpoint —
+    # a documented contract violation) must fail LOUDLY, not silently
+    # drop the node from the output (ADVICE r3).  The guard is a
+    # codegen'd null check on a column every downstream consumer reads,
+    # so Catalyst cannot prune it and it costs no extra shuffle or job.
+    assigned = assign_ids.join(id_map, "id", "left").withColumn(
+        "url",
+        F.when(
+            F.col("url").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("connected_components: edge endpoint id "),
+                    F.col("id").cast("string"),
+                    F.lit(
+                        " is not covered by all_nodes — pass all_nodes"
+                        " covering every edge endpoint, or None to derive"
+                        " the node set from the edges"
+                    ),
+                )
+            ),
+        ).otherwise(F.col("url")),
+    )
     cluster_roots = assigned.groupBy("root").agg(
         F.min("url").alias("cluster_id")
     )
