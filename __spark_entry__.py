@@ -322,8 +322,16 @@ def q_minhash_near_dup(spark, sf):
 
 
 def q_simhash_near_dup(spark, sf):
+    # md5_60 twin (the document_fingerprints_md5 pattern): 60-bit
+    # signatures from md5-derived token hashes, 4x15-bit pigeonhole
+    # blocks — DuckDB reproduces the sign-sum signature bit-for-bit,
+    # so the block join + hamming verify is value-checked end-to-end
+    # (round-3 verdict item 5).  The xxhash64 production path keeps
+    # its pytest (tests/test_dedup.py) and stays the default.
     docs = _planted_dup_documents(spark, sf)
-    return DD.simhash_near_duplicates(docs, max_hamming=3)
+    return DD.simhash_near_duplicates(docs, max_hamming=3, hash_mode="md5_60").select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_ngram_jaccard(spark, sf):
@@ -446,11 +454,26 @@ def q_country_map_normalize(spark, sf):
 # --- multimodal plumbing (rows-only: decode is a deterministic stub) ------------
 
 def q_media_features(spark, sf):
+    # width/height are md5-derived from the payload bytes (multimodal.
+    # _fake_decode), so DuckDB reproduces the full decoded projection;
+    # the feature VECTOR is blake2b-RNG (stands in for a real decoder),
+    # so the oracle pins its dimension and unit L2 norm instead of its
+    # contents (round-3 verdict item 6) — the exact values stay pinned
+    # by tests/test_multimodal.py determinism checks.
     from entity_resolution_engine_spark.operators import multimodal as MM
 
     media = MM.synthesize_media(_t(spark, sf, "documents"))
-    return MM.extract_media_features(media).select(
-        "media_id", "kind", "width", "height", "n_bytes"
+    feats = MM.extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_bytes",
+        F.size("features").alias("feat_dim"),
+        F.round(
+            F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)), 3
+        ).alias("feat_norm"),
     )
 
 
@@ -747,6 +770,36 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 # md5-mode winnowing: char 8-grams hashed by the first 15 md5 hex
 # chars (60-bit int), min per sliding 16-window (one global min when
 # fewer than 16 grams), distinct values per doc.
+# SimHash md5_60 twin (round-3 verdict item 5): the signature is 60
+# independent sign-of-sum bits — one SQL aggregate per bit — packed
+# into a BIGINT; candidates come from the same 4x15-bit pigeonhole
+# block join the engine runs, hamming from bit_count(xor).
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN (1::BIGINT << {j}) ELSE 0 END)"
+    for j in range(60)
+)
+_SIMHASH_BLOCK_COND = " OR ".join(
+    f"((s1.sh >> {b * 15}) & 32767) = ((s2.sh >> {b * 15}) & 32767)"
+    for b in range(4)
+)
+_SIMHASH_SQL = f"""
+WITH docs AS ({{planted}}),
+toks AS (SELECT doc_id, {{toks}} AS tk FROM docs),
+tok AS (SELECT doc_id, unnest(tk) AS t FROM toks WHERE len(tk) > 0),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+sig AS (SELECT doc_id, ({_SIMHASH_BITS})::BIGINT AS sh FROM th GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b,
+         s1.sh AS sa, s2.sh AS sb
+  FROM sig s1 JOIN sig s2
+    ON s1.doc_id < s2.doc_id AND ({_SIMHASH_BLOCK_COND})
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 _DOC_FINGERPRINTS_SQL = """
 WITH d AS (
   SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 8
@@ -915,6 +968,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _MINHASH_VERIFIED_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "simhash_near_dup": _SIMHASH_SQL.format(
+            planted=_PLANTED_DUP_SQL, toks=_TOKS
+        ),
         "doc_profile": _DOC_PROFILE_SQL,
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
@@ -966,6 +1022,23 @@ def oracle_sql() -> dict[str, str]:
             "    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q "
             "  WHERE c.vec_id != q.vec_id"
             ") WHERE rank <= 5"
+        ),
+        "media_features": (
+            # width/height = md5(payload-bytes) arithmetic; payload is
+            # the UTF-8 text bytes, and DuckDB's md5(VARCHAR) hashes
+            # exactly those bytes.  feat_dim/feat_norm pin the vector's
+            # shape and unit normalization (contents are blake2b-RNG,
+            # pytest-pinned).
+            "SELECT doc_id AS media_id, "
+            "['image','audio','video']["
+            "  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 3)::INT + 1"
+            "] AS kind, "
+            "(64 + ('0x' || substr(md5(text), 1, 8))::BIGINT % 1984)::INTEGER "
+            "  AS width, "
+            "(64 + ('0x' || substr(md5(text), 9, 8))::BIGINT % 1984)::INTEGER "
+            "  AS height, "
+            "octet_length(encode(text))::BIGINT AS n_bytes, "
+            "32::INTEGER AS feat_dim, 1.0::DOUBLE AS feat_norm FROM documents"
         ),
         "media_inventory": (
             "SELECT doc_id AS media_id, "
@@ -1029,9 +1102,7 @@ def oracle_sql() -> dict[str, str]:
             "  (CASE WHEN has_tok THEN csize ELSE 1 END)::BIGINT AS n_members "
             "FROM mem"
         ),
-        # simhash_near_dup (engine-side xxhash64+UDF signature — no
-        # SQL twin), media_features (float feature vectors from a
-        # blake2b-seeded RNG), er_resolve_documents (full-LSH flagship:
+        # er_resolve_documents (full-LSH flagship:
         # engine MinHash banding; its composed LSH→score→route→CC path
         # IS value-checked by er_resolve_planted on the planted-cluster
         # corpus, and its exact-config spine by er_resolve_exact):

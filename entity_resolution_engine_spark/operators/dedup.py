@@ -366,13 +366,37 @@ def minhash_verified_near_duplicates(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
+    """Per-doc SimHash over token hashes.
+
+    ``hash_mode``: ``xxhash64`` (production — full 64-bit signatures)
+    or ``md5_60`` (SQL-parity twin: token hash = first 15 hex chars of
+    md5, a 60-bit value DuckDB reproduces exactly, so the signature —
+    sign-of-sum per bit — is reproducible as 60 SQL aggregates and the
+    whole near-dup query becomes oracle-checkable; bits 60–63 of the
+    signature are structurally 0).  Same aggregation either way —
+    the md5 twin value-checks the sign-sum/bit-pack machinery the
+    production path shares."""
+    if hash_mode not in ("xxhash64", "md5_60"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     tokens = H.tokens_col(F.lower(F.col(text_col)))
-    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    return documents.select(
-        F.col(id_col).alias("id"), token_hashes.alias("th")
-    ).withColumn("simhash", H.simhash_udf(F.col("th"))).drop("th")
+    sigs = documents.select(F.col(id_col).alias("id"), tokens.alias("tk"))
+    # empty docs all share the zero signature and would pair off at
+    # hamming 0 — keep them out of the near-dup universe (mirrored in
+    # the DuckDB oracle's len(toks) > 0 filter)
+    sigs = sigs.filter(F.size("tk") > 0)
+    if hash_mode == "xxhash64":
+        th = F.transform(F.col("tk"), lambda t: F.xxhash64(t))
+    else:
+        th = F.transform(
+            F.col("tk"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    return sigs.withColumn("simhash", H.simhash_udf(th)).drop("tk")
 
 
 def simhash_near_duplicates(
@@ -382,22 +406,30 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_bucket_size: int = 2000,
     caches: list | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
     Blocking by the pigeonhole/block-permutation scheme (Manku et al.,
-    WWW'07 — public): split 64 bits into (max_hamming+1) blocks; any
-    pair within distance max_hamming agrees exactly on at least one
-    block, so candidates = equi-join per block.  Hamming distance is
-    then verified with bit_count(xor) — pure JVM."""
+    WWW'07 — public): split the signature bits into (max_hamming+1)
+    blocks; any pair within distance max_hamming agrees exactly on at
+    least one block, so candidates = equi-join per block.  Hamming
+    distance is then verified with bit_count(xor) — pure JVM.  Empty
+    docs are excluded (they would all collide at hamming 0).
+
+    ``hash_mode='md5_60'`` is the SQL-parity twin (60-bit signatures,
+    4×15-bit blocks at the default max_hamming) — the driver's DuckDB
+    oracle reproduces it bit-for-bit; ``xxhash64`` stays the
+    production path."""
     # the block self-join references the signature frame on BOTH sides —
     # without persist Catalyst evaluates the simhash pandas UDF twice
     # (same pitfall as lsh_blocks; caller/bench clears the cache)
-    sigs = simhash_signatures(documents, id_col, text_col).persist()
+    sigs = simhash_signatures(documents, id_col, text_col, hash_mode).persist()
     if caches is not None:
         caches.append(sigs)
     nblocks = max_hamming + 1
-    width = 64 // nblocks
+    nbits = 60 if hash_mode == "md5_60" else 64
+    width = nbits // nblocks
     blocks = F.array(
         *[
             F.struct(

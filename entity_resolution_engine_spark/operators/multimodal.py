@@ -60,11 +60,19 @@ FEATURE_DIM = 32
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Deterministic stand-in for an image decoder: dims and features
-    derive from a blake2b digest of the bytes."""
+    """Deterministic stand-in for an image decoder.
+
+    width/height derive from an md5 digest of the bytes — md5 (not
+    blake2b) deliberately, the same reasoning as ``synthesize_media``'s
+    ``kind``: DuckDB reproduces md5, so the driver's media_features
+    oracle value-checks the decoded dimensions through the mapInPandas
+    Arrow path end-to-end (round-3 verdict item 6).  The feature
+    vector keeps its blake2b-seeded RNG (the ``real`` decoder branch
+    replaces exactly this function on a cluster with PIL/ffmpeg)."""
+    md5 = hashlib.md5(payload).digest()
+    width = 64 + int.from_bytes(md5[0:4], "big") % 1984
+    height = 64 + int.from_bytes(md5[4:8], "big") % 1984
     digest = hashlib.blake2b(payload, digest_size=16).digest()
-    width = 64 + int.from_bytes(digest[0:4], "big") % 1984
-    height = 64 + int.from_bytes(digest[4:8], "big") % 1984
     rng = np.random.default_rng(int.from_bytes(digest[8:16], "big"))
     raw = rng.standard_normal(FEATURE_DIM)
     vec = raw - raw.mean()
