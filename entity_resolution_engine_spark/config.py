@@ -125,6 +125,13 @@ class PipelineConfig:
     anomaly: AnomalyConfig = field(default_factory=AnomalyConfig)
     cc_max_iterations: int = 50          # connected-components safety bound
     cc_checkpoint_every: int = 3         # truncate lineage every k iterations
+    # LLM validation transport: ``(system_prompt, user_prompt) -> str``.
+    # The engine carries no network code — a caller injects the client
+    # here (reference analog: cli/run_mapping.py:57-58 wiring the
+    # router's LLM validator).  The hook only runs when BOTH this is
+    # set AND scoring.llm_enabled is true, matching the reference's
+    # llm_validation.yml:1 enabled flag.
+    llm_transport: object = None
 
 
 DEFAULT_CONFIG = PipelineConfig()

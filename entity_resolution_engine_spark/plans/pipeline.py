@@ -30,7 +30,13 @@ from ..operators.blocking import candidate_pairs
 from ..operators.cluster import connected_components
 from ..operators.merge import merge_entities, source_lineage
 from ..operators.normalize_stage import normalize_pages
-from ..operators.router import review_items, route_pairs, router_metrics
+from ..operators.router import (
+    llm_run_stats,
+    llm_validate_sample,
+    review_items,
+    route_pairs,
+    router_metrics,
+)
 from ..operators.scoring import score_pairs
 from ..sources.catalog import ParquetSnapshotCatalog, TableCatalog
 
@@ -142,6 +148,38 @@ class Pipeline:
             cat.write(self._t(run_id, "routed"), routed)
             routed_r = cat.read(self._t(run_id, "routed"))
             cat.write(self._t(run_id, "reviews"), review_items(routed_r, run_id))
+            # optional LLM validation of the gray zone (reference
+            # validation/router.py:97-256): bounded sample, budget +
+            # circuit breaker inside llm_validate_sample.  Verdicts are
+            # COMMITTED as a snapshot so the observe stage (and a
+            # resumed run) derives llm stats from the same rows.
+            if self.cfg.scoring.llm_enabled and self.cfg.llm_transport is not None:
+                results = llm_validate_sample(
+                    routed_r, self.cfg.scoring, transport=self.cfg.llm_transport
+                )
+                rows = [
+                    (
+                        run_id,
+                        r.get("url_a"),
+                        r.get("url_b"),
+                        r.get("decision") or r.get("status"),
+                        float(r["confidence"]) if r.get("confidence") is not None else None,
+                        list(r.get("reasons") or []),
+                        list(r.get("risk_flags") or []),
+                        r.get("error"),
+                    )
+                    for r in results
+                ]
+                cat.write(
+                    self._t(run_id, "llm_validations"),
+                    self.spark.createDataFrame(
+                        rows,
+                        "run_id string, url_a string, url_b string, "
+                        "decision string, confidence double, "
+                        "reasons array<string>, risk_flags array<string>, "
+                        "error string",
+                    ),
+                )
 
         run_stage("route", _route)
         routed = cat.read(self._t(run_id, "routed"))
@@ -231,8 +269,19 @@ class Pipeline:
                 ),
                 mode="append",
             )
+            # the max_llm_error_rate gate is fed from the COMMITTED
+            # validation verdicts (None when the hook never ran — the
+            # gate then passes at 0.0, the reference's zero-call
+            # branch).  The bounded sample (≤ max_llm_calls_per_run
+            # rows) makes the driver-side stats derivation O(KB).
+            llm_stats = None
+            llm_tbl = self._t(run_id, "llm_validations")
+            if cat.exists(llm_tbl):
+                llm_stats = llm_run_stats(
+                    [r.asDict() for r in cat.read(llm_tbl).collect()]
+                )
             gates = M.evaluate_quality_gates(
-                rates, anomaly_history, run_id, self.cfg.gates
+                rates, anomaly_history, run_id, self.cfg.gates, llm_stats=llm_stats
             )
             cat.write("quality_gate_results", gates, mode="append")
 

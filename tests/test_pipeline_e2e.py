@@ -167,3 +167,106 @@ def test_reviews_query_filters_and_pushdown(spark, tmp_path_factory):
     assert "PushedFilters" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "matcher_score" in pushed and "status" in pushed, pushed
+
+
+def test_llm_hook_wired_through_pipeline(spark, synth_corpus, tmp_path_factory):
+    """VERDICT r3 item 4: the Pipeline itself invokes the LLM hook when
+    scoring.llm_enabled + a transport is configured — budget respected,
+    verdicts committed as a snapshot, review-shaped REVIEW verdicts
+    present, and the max_llm_error_rate gate fed by REAL run stats
+    (reference cli/run_mapping.py:57-58 + validation/router.py:97-256)."""
+    import json as _json
+    from dataclasses import replace
+
+    from entity_resolution_engine_spark.config import DEFAULT_CONFIG
+
+    pages, _ = synth_corpus
+
+    calls = {"n": 0}
+
+    def transport(system_prompt, user_prompt):
+        calls["n"] += 1
+        req = _json.loads(user_prompt.removeprefix(
+            "Return valid JSON only. Do not include commentary or markdown.\n\n"
+        ))
+        # deterministic mixed behavior keyed on the pair: mostly MATCH,
+        # every 5th a REVIEW verdict
+        k = hash((req["left"]["url"], req["right"]["url"])) % 5
+        decision = "REVIEW" if k == 0 else "MATCH"
+        return _json.dumps(
+            {"decision": decision, "confidence": 0.9, "reasons": ["t"],
+             "risk_flags": []}
+        )
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        scoring=replace(
+            DEFAULT_CONFIG.scoring,
+            llm_enabled=True,
+            max_llm_calls_per_run=7,
+            fallback_mode="review",
+            # push clone scores (~0.95) into the gray zone so the
+            # sample is non-empty on the 600-row corpus
+            threshold_high=0.99,
+        ),
+        llm_transport=transport,
+    )
+    pipe = Pipeline(spark, str(tmp_path_factory.mktemp("llm")), config=cfg)
+    res = pipe.run(pages, run_id="llm1")
+    assert res.stages_run == list(STAGES)
+    # (overall gate_passed is False here by design: threshold_high=0.99
+    # floods the gray zone past max_gray_zone_rate — the assertion that
+    # matters is the LLM gate below, fed by real stats at rate 0.0)
+
+    validations = pipe.table("llm1", "llm_validations")
+    n_gray = pipe.table("llm1", "routed").filter(F.col("decision") == "gray").count()
+    n_val = validations.count()
+    assert 1 <= n_val <= 7  # budget respected
+    assert calls["n"] == n_val  # one transport call per committed verdict
+    assert n_val == min(7, n_gray)
+    decisions = {r.decision for r in validations.collect()}
+    assert decisions <= {"MATCH", "NO_MATCH", "REVIEW"}
+    gates = pipe.catalog.read("quality_gate_results").filter(
+        (F.col("run_id") == "llm1") & (F.col("gate") == "max_llm_error_rate")
+    ).collect()
+    assert len(gates) == 1 and gates[0].passed and gates[0].value == 0.0
+
+
+def test_llm_error_rate_fails_gate(spark, synth_corpus, tmp_path_factory):
+    """An erroring transport must surface as llm_error verdicts, feed a
+    REAL llm_error_rate into the 4th gate, and fail the run (ADVICE r3:
+    the gate was previously hardcoded 0.0/pass at the call site)."""
+    from dataclasses import replace
+
+    from entity_resolution_engine_spark.config import DEFAULT_CONFIG
+
+    pages, _ = synth_corpus
+
+    def bad_transport(system_prompt, user_prompt):
+        raise RuntimeError("transport down")
+
+    cfg = replace(
+        DEFAULT_CONFIG,
+        scoring=replace(
+            DEFAULT_CONFIG.scoring,
+            llm_enabled=True,
+            max_llm_calls_per_run=5,
+            fallback_mode="review",
+            threshold_high=0.99,
+        ),
+        llm_transport=bad_transport,
+    )
+    pipe = Pipeline(spark, str(tmp_path_factory.mktemp("llmbad")), config=cfg)
+    res = pipe.run(pages, run_id="llm2")
+    assert not res.gate_passed
+    gates = {
+        r.gate: r
+        for r in pipe.catalog.read("quality_gate_results")
+        .filter(F.col("run_id") == "llm2")
+        .collect()
+    }
+    g = gates["max_llm_error_rate"]
+    assert g.value == 1.0 and not g.passed
+    # every verdict degraded to an error row
+    vals = pipe.table("llm2", "llm_validations").collect()
+    assert vals and all(r.error is not None for r in vals)
