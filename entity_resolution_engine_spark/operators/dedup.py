@@ -81,15 +81,20 @@ def bounded_bucket_pairs(
     band, or a degenerate shingle) would otherwise produce O(k²) pairs.
     Buckets ≤ max_bucket_size self-join directly; larger buckets are
     split by an id-GLOBAL hash (``xxhash64(id) % n_sub``) into
-    ceil(k/max) sub-buckets (all-pairs within each) and the sub-bucket
-    minima are star-linked so downstream clustering still sees
-    cross-sub-bucket connectivity.  The hash assignment (vs the earlier
-    per-bucket rank round-robin) means a pair co-occurring in MANY hot
-    buckets lands in the same sub-index everywhere — cross-bucket pair
-    unions dedup to ~one bucket's worth, and band-agreement counts
-    (``count_matches``) aren't downward-biased by re-slicing.  No sort
-    anywhere: the long tail passes untouched, hot buckets pay two
-    aggregations.  ``stats_out`` (a list, when given) receives the
+    ceil(k/(0.8·max)) sub-buckets (all-pairs within each) and the
+    sub-bucket minima are star-linked so downstream clustering still
+    sees cross-sub-bucket connectivity.  The hash assignment (vs the
+    earlier per-bucket rank round-robin) means a pair co-occurring in
+    MANY hot buckets lands in the same sub-index everywhere —
+    cross-bucket pair unions dedup to ~one bucket's worth, and
+    band-agreement counts (``count_matches``) aren't downward-biased
+    by re-slicing.  The bound is PROBABILISTIC, not hard (ADVICE r3):
+    hash assignment makes sub-bucket sizes binomial around k/n_sub, so
+    n_sub is sized with 0.8 headroom — the mean sits at 0.8·max and an
+    overshoot past max is a ≥4σ event for max ≥ 500 (σ = √(k/n_sub)),
+    negligible versus the old round-robin's exact-but-resliced cut.
+    No sort anywhere: the long tail passes untouched, hot buckets pay
+    two aggregations.  ``stats_out`` (a list, when given) receives the
     split ledger DataFrame (bucket, bucket_size, n_subbuckets) — the
     no-silent-caps record for callers that materialize it.
 
@@ -115,7 +120,8 @@ def bounded_bucket_pairs(
         F.col("bucket").cast("string").alias("bucket"), "id"
     )
     big = tagged.filter(F.col("bucket_size").isNotNull())
-    n_sub = F.ceil(F.col("bucket_size") / max_bucket_size).cast("long")
+    # 0.8 headroom: see the probabilistic-bound note in the docstring
+    n_sub = F.ceil(F.col("bucket_size") / (0.8 * max_bucket_size)).cast("long")
     sub_tagged = big.select(
         F.col("bucket").cast("string").alias("base"),
         F.concat_ws(
@@ -142,7 +148,7 @@ def bounded_bucket_pairs(
             hot.select(
                 F.col("bucket").cast("string").alias("bucket"),
                 "bucket_size",
-                F.ceil(F.col("bucket_size") / max_bucket_size)
+                F.ceil(F.col("bucket_size") / (0.8 * max_bucket_size))
                 .cast("long")
                 .alias("n_subbuckets"),
             )
