@@ -341,6 +341,19 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_ngram_jaccard_fast(spark, sf):
+    # fused-UDF production variant (one Arrow-batched numpy kernel for
+    # gram hashing + banding; verdict r3 item 7).  Rows-only here —
+    # its xxhash64/multiply-shift hashes are engine-side — but pytest
+    # pins pair-for-pair equality with the md5 SQL-parity path (which
+    # IS the oracle-checked query) at sf0.01, so the variant is value-
+    # anchored transitively.
+    docs = _t(spark, sf, "documents")
+    return DD.ngram_jaccard_pairs_fast(docs, n=3, min_jaccard=0.4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_embedding_near_dup(spark, sf):
     # OR-amplified SRP LSH; (planes_per_band, n_bands) auto-sized by
     # srp_band_params for ≥99.99% recall at the cosine threshold —
@@ -379,6 +392,24 @@ def q_ann_ivf(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ANN.ivf_topk(emb, queries, dim=64, k=5, nlist=16, nprobe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_ann_ivf_probe(spark, sf):
+    # the PRODUCTION selective-probe configuration (nprobe=4 of 16
+    # cells: ~4x less corpus scanned per query).  Rows-only by design —
+    # approximate results have no SQL oracle; correctness is pinned by
+    # the recall@5 >= 0.9 pytest (tests/test_ann.py) and by q_ann_ivf's
+    # exhaustive-probe equivalence.  Exists so the approximate path's
+    # e2e performance stays measured after the oracle query moved to
+    # nprobe=nlist (ADVICE r3).
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ANN.ivf_topk(emb, queries, dim=64, k=5, nlist=16, nprobe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
@@ -629,9 +660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_fast": q_ngram_jaccard_fast,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_probe": q_ann_ivf_probe,
         "doc_profile": q_doc_profile,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,

@@ -70,7 +70,9 @@ def main() -> None:
         "doc_profile",
         "minhash_near_dup",
         "ngram_jaccard",
+        "ngram_jaccard_fast",
         "ann_bruteforce",
+        "ann_ivf_probe",
         "er_resolve_documents",
     ]
     for name in headline:

@@ -203,6 +203,75 @@ def make_minhash_udf(num_hashes: int, shingle_size: int = 1):
     return minhash_udf
 
 
+def make_gram_bands_udf(n: int, num_bands: int):
+    """array<bigint> token hashes → struct(grams: array<bigint>,
+    bands: array<bigint>): the fused production kernel behind
+    ``ngram_jaccard_pairs_fast``.
+
+    Per Arrow batch, entirely in numpy: word-n-gram hashes via the
+    ``shingle_flat`` polynomial fold, per-row DEDUP of the gram set
+    (one lexsort over the flattened batch — no per-row loops), and
+    ``num_bands`` single-row MinHash band keys (one multiply-shift salt
+    per band, min over the distinct gram set, band index mixed in).  A
+    pair with Jaccard J agrees on one band with probability J — the
+    same blocking recall 1-(1-J)^num_bands as the md5-per-gram SQL-
+    parity path this replaces, whose interpreted per-gram HOF
+    expressions (md5 hex + concat_ws × num_bands salts) were the
+    dominant CPU cost of the parity query."""
+    a, b = _minhash_params(num_bands)
+    band_mix = np.arange(num_bands, dtype=np.uint64) * _BAND_MIX
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("grams", T.ArrayType(T.LongType())),
+                T.StructField("bands", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def gram_bands_udf(hashes: pd.Series) -> pd.DataFrame:
+        flat, _off, lengths = _flatten_ragged(hashes)
+        gflat, glens = shingle_flat(flat, lengths, n)
+        nrows = len(glens)
+        nonempty = glens > 0
+        if gflat.size:
+            # distinct gram hashes per row: lexsort by (row, hash) then
+            # keep first of each run — vectorized across the batch
+            rid = np.repeat(np.arange(nrows, dtype=np.int64), glens)
+            order = np.lexsort((gflat, rid))
+            sr, sh = rid[order], gflat[order]
+            keep = np.ones(sh.size, dtype=bool)
+            keep[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+            dr, dh = sr[keep], sh[keep]
+            dlens = np.bincount(dr, minlength=nrows).astype(np.int64)
+        else:
+            dh = np.empty(0, dtype=np.uint64)
+            dlens = np.zeros(nrows, dtype=np.int64)
+        offs = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(dlens, out=offs[1:])
+        starts = offs[:-1][nonempty]
+        bands_mat = np.zeros((nrows, num_bands), dtype=np.uint64)
+        if dh.size:
+            for k in range(num_bands):
+                imgs = dh * a[k] + b[k]  # uint64 wrap-around salt
+                bands_mat[nonempty, k] = np.minimum.reduceat(imgs, starts)
+        bands_mat ^= band_mix
+        dh_i64 = dh.view(np.int64)
+        bm_i64 = bands_mat.view(np.int64)
+        grams_out: list[list[int] | None] = []
+        bands_out: list[list[int] | None] = []
+        for i in range(nrows):
+            if nonempty[i]:
+                grams_out.append(dh_i64[offs[i] : offs[i + 1]].tolist())
+                bands_out.append(bm_i64[i].tolist())
+            else:
+                grams_out.append(None)
+                bands_out.append(None)
+        return pd.DataFrame({"grams": grams_out, "bands": bands_out})
+
+    return gram_bands_udf
+
+
 def simhash64(hash_arrays: pd.Series) -> np.ndarray:
     """Batch 64-bit SimHash over per-row token-hash arrays: per bit
     position, sum ±1 contributions per row (``np.add.reduceat``), sign

@@ -550,6 +550,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_fast(
+    documents: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.4,
+    num_bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 2000,
+    caches: list | None = None,
+) -> DataFrame:
+    """Production variant of ``ngram_jaccard_pairs`` — identical
+    semantics (exact token-n-gram Jaccard within min-gram-hash blocks),
+    with all per-gram hashing fused into ONE Arrow-batched pandas UDF
+    (``make_gram_bands_udf``): token xxhash64 stays a flat JVM pass,
+    then gram folding + per-row dedup + ``num_bands`` salted band
+    minima run vectorized in numpy.  The SQL-parity path's interpreted
+    md5-per-gram HOF expressions (num_bands salts × every gram, hex
+    strings) are the cost this removes; blocking recall is the same
+    1-(1-J)^num_bands and the final Jaccard filter is exact either way
+    (array_intersect/array_union over the distinct gram-hash sets —
+    equal to string-gram Jaccard absent 64-bit collisions), so both
+    variants return the same pairs.  Pytest pins sf-scale equality; the
+    md5 path remains the DuckDB-oracle query."""
+    tokens = H.tokens_col(F.lower(F.col(text_col)))
+    docs = documents.select(
+        F.col(id_col).alias("id"), H.token_hashes_col(tokens).alias("th")
+    ).filter(F.size("th") > 0)
+    gb_udf = H.make_gram_bands_udf(n, num_bands)
+    docs = docs.select("id", gb_udf("th").alias("gb")).select(
+        "id", F.col("gb.grams").alias("grams"), F.col("gb.bands").alias("bands")
+    )
+    # the UDF output is referenced 3x (band explode + both pair joins)
+    # — persist or Catalyst re-evaluates the Python UDF per reference
+    docs = docs.persist()
+    if caches is not None:
+        caches.append(docs)
+    exploded = docs.select("id", F.explode("bands").alias("bucket"))
+    pair_ids = bounded_bucket_pairs(
+        exploded, max_bucket_size=max_bucket_size, caches=caches
+    )
+    pairs = pair_ids.join(
+        docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
+        "id_a",
+    ).join(
+        docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup (LSH-bucketed scale path)
 # ---------------------------------------------------------------------------

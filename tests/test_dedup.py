@@ -56,6 +56,41 @@ def test_ngram_jaccard_exact_is_one(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_fast_small_semantics(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs_fast(docs, n=3, min_jaccard=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_fast_equals_parity_path(spark):
+    """The fused-UDF production variant must return pair-for-pair the
+    same output as the md5 SQL-parity path (which is the DuckDB-oracle
+    query) on the sf0.01 documents table — same exact-Jaccard values,
+    same candidate pairs (verdict r3 item 7)."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in DD.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in DD.ngram_jaccard_pairs_fast(docs, n=3, min_jaccard=0.4).collect()
+    }
+    assert want, "parity path found no pairs — fixture regressed"
+    assert got == want
+
+
 def test_embedding_near_duplicates(spark):
     import numpy as np
 
