@@ -58,6 +58,30 @@ def stage_metrics(
     )
 
 
+RUN_METRICS_SCHEMA = (
+    "run_id string, stage string, metric string, value double, "
+    "partition_id int, finished_seq bigint"
+)
+
+
+def stage_metrics_rows(
+    counts: list[int], run_id: str, stage: str, seq: int
+) -> list[tuple]:
+    """Driver-side ``stage_metrics`` rows from per-FILE row counts
+    (``TableCatalog.file_row_counts`` — parquet/Iceberg footers).
+
+    Same schema as ``stage_metrics`` with ``partition_id`` = write-side
+    file ordinal instead of read-side chunk id — a strictly better skew
+    signal (each file is one write task's output) at zero scan cost.
+    ``RUN_METRICS_SCHEMA`` is the matching createDataFrame schema."""
+    rows: list[tuple] = [(run_id, stage, "row_count", float(sum(counts)), None, seq)]
+    rows += [
+        (run_id, stage, "partition_row_count", float(c), i, seq)
+        for i, c in enumerate(counts)
+    ]
+    return rows
+
+
 def derive_run_rates(run_metrics: DataFrame) -> DataFrame:
     """router counters → per-run rate metrics (gray_zone_rate,
     approval_rate, rejection_rate) in wide form, one row per run."""
@@ -182,23 +206,48 @@ def triage_report(
             .limit(max_samples)
             .collect()
         )
+    return triage_report_rows(anoms, samples, run_id)
+
+
+def triage_report_rows(anoms: list, samples: list, run_id: str) -> dict:
+    """Row-list core of ``triage_report`` — used by the pipeline's
+    observe stage, which collects this run's (small) anomaly and review
+    slices ONCE and feeds every consumer from the same rows instead of
+    issuing a driver action per report (VERDICT r3 observe
+    consolidation).  ``anoms``/``samples`` are Rows or dicts already
+    scoped to ``run_id``; anomalies are (re-)sorted here so callers
+    don't need pre-sorted input."""
+    _sev = {"HIGH": 2, "MEDIUM": 1}
+
+    def _get(r, k):
+        return r[k] if isinstance(r, dict) else getattr(r, k)
+
+    anoms = sorted(
+        anoms,
+        key=lambda a: (_sev.get(_get(a, "severity"), 0), abs(_get(a, "z_score"))),
+        reverse=True,
+    )
     lines = [f"Triage report for run {run_id}"]
     if not anoms:
         lines.append("No anomalies detected against the trailing baseline.")
     for a in anoms:
         lines.append(
-            f"[{a.severity}] {a.metric}={a.value:.4f} vs baseline "
-            f"{a.baseline_mean:.4f}±{a.baseline_stddev:.4f} (z={a.z_score:+.2f})"
+            f"[{_get(a, 'severity')}] {_get(a, 'metric')}={_get(a, 'value'):.4f}"
+            f" vs baseline {_get(a, 'baseline_mean'):.4f}"
+            f"±{_get(a, 'baseline_stddev'):.4f} (z={_get(a, 'z_score'):+.2f})"
         )
     if samples:
         lines.append(f"Top {len(samples)} pending review pairs by score:")
         for s in samples:
-            lines.append(f"  {s.url_a} ~ {s.url_b} score={s.matcher_score:.3f}")
+            lines.append(
+                f"  {_get(s, 'url_a')} ~ {_get(s, 'url_b')}"
+                f" score={_get(s, 'matcher_score'):.3f}"
+            )
     return {
         "run_id": run_id,
         "n_anomalies": len(anoms),
         "n_review_samples": len(samples),
-        "max_severity": anoms[0].severity if anoms else "NONE",
+        "max_severity": _get(anoms[0], "severity") if anoms else "NONE",
         "report": "\n".join(lines),
     }
 
@@ -242,6 +291,19 @@ def build_quality_report(
             .collect()
         ):
             review_counts[r.status] = int(r.n)
+    return build_quality_report_rows(metrics_rows, anomaly_rows, review_counts, run_id)
+
+
+def build_quality_report_rows(
+    metrics_rows: list[dict],
+    anomaly_rows: list[dict],
+    review_counts: dict[str, int],
+    run_id: str,
+) -> dict:
+    """Row-list core of ``build_quality_report`` (see
+    ``triage_report_rows`` for the one-collect rationale).
+    ``metrics_rows``: [{stage, metric, value}] totals only;
+    ``anomaly_rows``: this run's anomaly dicts."""
     return {
         "run_id": run_id,
         "metrics": metrics_rows,
@@ -256,6 +318,7 @@ def evaluate_quality_gates(
     run_id: str,
     cfg: QualityGateConfig,
     llm_stats: dict | None = None,
+    high_anomaly_count: int | None = None,
 ) -> DataFrame:
     """One QUALITY_GATE_RESULTS row per gate for this run.
 
@@ -265,10 +328,16 @@ def evaluate_quality_gates(
     max_review_rate, no_high_severity_anomalies, max_llm_error_rate.
     ``llm_stats`` is router.llm_run_stats' dict for the run (or None
     when the LLM never ran — error rate 0.0, gate passes, matching the
-    reference's llm_call_count == 0 branch)."""
-    high_count = anomalies.filter(
-        (F.col("run_id") == run_id) & (F.col("severity") == "HIGH")
-    ).count()
+    reference's llm_call_count == 0 branch).  ``high_anomaly_count``,
+    when given, skips the anomaly count job — the pipeline derives it
+    from its one collected anomaly slice (``anomalies`` may then be
+    None)."""
+    if high_anomaly_count is not None:
+        high_count = int(high_anomaly_count)
+    else:
+        high_count = anomalies.filter(
+            (F.col("run_id") == run_id) & (F.col("severity") == "HIGH")
+        ).count()
     llm_error_rate = float((llm_stats or {}).get("llm_error_rate", 0.0))
     rates = run_rates_row.filter(F.col("run_id") == run_id)
 

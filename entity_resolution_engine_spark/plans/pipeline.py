@@ -213,7 +213,14 @@ class Pipeline:
         # -- observe: metrics, anomalies, gates --------------------------------
         def _observe():
             # metrics derive from the COMMITTED snapshots (not in-flight
-            # DataFrames) so a resumed run reports complete metrics
+            # DataFrames) so a resumed run reports complete metrics.
+            # Stage row counts come from SNAPSHOT FILE METADATA
+            # (catalog.file_row_counts — parquet/Iceberg footers): at
+            # 100 TB, re-scanning five stage outputs purely for counts
+            # would double the pipeline's read I/O; footers cost O(files)
+            # KB-reads and each write-side file is one task's output, so
+            # the per-file counts ARE the skew profile (VERDICT r3
+            # observe consolidation).
             stage_tables = [
                 ("normalize", "normalized"),
                 ("block", "candidates"),
@@ -225,22 +232,39 @@ class Pipeline:
             # anomaly detection can order run history (the reference
             # orders by finished_at, anomaly_detector.py:44-57)
             seq_base = int(time.time() * 1000)
-            all_metrics = None
+            local_rows: list[tuple] = []
+            scan_frames = []  # catalogs that can't answer from metadata
             for i, (stage, tbl) in enumerate(stage_tables):
-                m = M.stage_metrics(
-                    cat.read(self._t(run_id, tbl)), run_id, stage, seq_base + i
-                )
-                all_metrics = m if all_metrics is None else all_metrics.unionByName(m)
-            all_metrics = all_metrics.unionByName(
-                router_metrics(
+                counts = cat.file_row_counts(self._t(run_id, tbl))
+                if counts is not None:
+                    local_rows += M.stage_metrics_rows(
+                        counts, run_id, stage, seq_base + i
+                    )
+                else:
+                    scan_frames.append(
+                        M.stage_metrics(
+                            cat.read(self._t(run_id, tbl)), run_id, stage, seq_base + i
+                        )
+                    )
+            # router counters: ONE aggregation job over the routed
+            # snapshot, collected once (5 rows) and reused for both the
+            # metrics write and the quality report below
+            router_rows = [
+                tuple(r)
+                for r in router_metrics(
                     cat.read(self._t(run_id, "routed")), run_id, seq_base + 5
-                )
+                ).collect()
+            ]
+            all_metrics = self.spark.createDataFrame(
+                local_rows + router_rows, M.RUN_METRICS_SCHEMA
             )
+            for fr in scan_frames:
+                all_metrics = all_metrics.unionByName(fr)
             cat.write("run_metrics", all_metrics, mode="append")
 
-            # the observability frames below feed ~10 small driver
-            # actions (rates, anomalies, triage, gates, report) — cache
-            # them once instead of re-scanning parquet per action
+            # run history is needed for the anomaly BASELINE (past runs'
+            # rates) — a small observability table; cached for the two
+            # plans that read it (rates + run_order)
             history = cat.read("run_metrics").cache()
             rates = M.derive_run_rates(history)
             run_order = (
@@ -250,10 +274,24 @@ class Pipeline:
                 .select("run_id", "finished_seq")
             )
             anomalies = M.detect_anomalies(rates, run_order, run_id, self.cfg.anomaly)
-            cat.write("anomaly_events", anomalies, mode="append")
-            anomaly_history = cat.read("anomaly_events").cache()
+            # ≤ 3 rows by construction (one per tracked rate) — collect
+            # ONCE; the event write, triage report, HIGH-severity gate,
+            # and quality report all feed from these rows instead of one
+            # driver action each
+            anoms_rows = anomalies.collect()
+            cat.write(
+                "anomaly_events",
+                self.spark.createDataFrame(anoms_rows, anomalies.schema),
+                mode="append",
+            )
             reviews_df = cat.read(self._t(run_id, "reviews")).cache()
-            report = M.triage_report(anomaly_history, reviews_df, run_id)
+            samples = (
+                reviews_df.filter(F.col("run_id") == run_id)
+                .orderBy(F.desc("matcher_score"))
+                .limit(20)
+                .collect()
+            )
+            report = M.triage_report_rows(anoms_rows, samples, run_id)
             cat.write(
                 "anomaly_triage_reports",
                 self.spark.createDataFrame(
@@ -281,13 +319,51 @@ class Pipeline:
                     [r.asDict() for r in cat.read(llm_tbl).collect()]
                 )
             gates = M.evaluate_quality_gates(
-                rates, anomaly_history, run_id, self.cfg.gates, llm_stats=llm_stats
+                rates,
+                None,
+                run_id,
+                self.cfg.gates,
+                llm_stats=llm_stats,
+                high_anomaly_count=sum(
+                    1 for a in anoms_rows if a.severity == "HIGH"
+                ),
             )
             cat.write("quality_gate_results", gates, mode="append")
 
             # O4: the combined quality report (metrics + anomalies +
-            # review counts) persisted as one run snapshot row
-            qr = M.build_quality_report(history, anomaly_history, reviews_df, run_id)
+            # review counts) persisted as one run snapshot row —
+            # assembled from the rows already on the driver plus one
+            # review status-count job
+            metrics_totals = [
+                {"stage": r[1], "metric": r[2], "value": r[3]}
+                for r in local_rows + router_rows
+                if r[4] is None
+            ]
+            for fr in scan_frames:
+                metrics_totals += [
+                    r.asDict()
+                    for r in fr.filter(F.col("partition_id").isNull())
+                    .select("stage", "metric", "value")
+                    .collect()
+                ]
+            anomaly_dicts = [
+                {
+                    k: v
+                    for k, v in r.asDict().items()
+                    if k != "run_id"
+                }
+                for r in anoms_rows
+            ]
+            review_counts = {
+                r.status: int(r.n)
+                for r in reviews_df.filter(F.col("run_id") == run_id)
+                .groupBy("status")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            qr = M.build_quality_report_rows(
+                metrics_totals, anomaly_dicts, review_counts, run_id
+            )
             cat.write(
                 "quality_reports",
                 self.spark.createDataFrame(
@@ -296,7 +372,7 @@ class Pipeline:
                 ),
                 mode="append",
             )
-            for c in (history, anomaly_history, reviews_df):
+            for c in (history, reviews_df):
                 c.unpersist()
 
         run_stage("observe", _observe)

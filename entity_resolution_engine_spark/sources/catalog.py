@@ -52,6 +52,17 @@ class TableCatalog(ABC):
     @abstractmethod
     def drop(self, name: str) -> None: ...
 
+    def file_row_counts(self, name: str) -> list[int] | None:
+        """Per-data-file row counts of the CURRENT snapshot, from file
+        metadata only — no data scan.  This is the 100 TB-friendly
+        source for per-partition stage metrics: each write-side file is
+        one task's output, so the counts ARE the stage's output-skew
+        profile, at O(files) footer reads instead of a full re-scan of
+        the snapshot (the observe stage's former cost, VERDICT r3).
+        Returns None when the backend can't answer from metadata —
+        callers fall back to a scan."""
+        return None
+
 
 class ParquetSnapshotCatalog(TableCatalog):
     """parquet + JSON-manifest snapshots.
@@ -143,6 +154,22 @@ class ParquetSnapshotCatalog(TableCatalog):
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
 
+    def file_row_counts(self, name: str) -> list[int]:
+        """Parquet-footer row counts per part file (sorted by file name
+        so the partition ordinals are deterministic).  Footers are a
+        few KB regardless of file size — O(files) metadata I/O."""
+        m = self._load_manifest(name)
+        if m is None or m["current"] is None:
+            raise FileNotFoundError(f"table {name!r} not in catalog {self.root}")
+        import pyarrow.parquet as pq
+
+        snap = os.path.join(self._tdir(name), f"snap-{m['current']}")
+        return [
+            pq.read_metadata(os.path.join(snap, fn)).num_rows
+            for fn in sorted(os.listdir(snap))
+            if fn.startswith("part-") and fn.endswith(".parquet")
+        ]
+
 
 class IcebergCatalog(TableCatalog):
     """Iceberg-backed implementation (requires the Iceberg runtime jar
@@ -193,6 +220,14 @@ class IcebergCatalog(TableCatalog):
 
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(name)}")
+
+    def file_row_counts(self, name: str) -> list[int]:
+        """Iceberg answers this from its own metadata: the ``.files``
+        table carries record_count per data file — no data scan."""
+        rows = self.spark.sql(
+            f"SELECT record_count FROM {self._fqn(name)}.files ORDER BY file_path"
+        ).collect()
+        return [int(r.record_count) for r in rows]
 
 
 def get_catalog(spark: SparkSession, root: str, iceberg_catalog: str | None = None) -> TableCatalog:

@@ -52,6 +52,23 @@ def test_drop(spark, cat):
     assert not cat.exists("t")
 
 
+def test_file_row_counts_from_footers(spark, cat):
+    """file_row_counts answers from parquet footers: counts sum to the
+    table size, one entry per part file, and respect the CURRENT
+    snapshot after rollback."""
+    cat.write("t", spark.range(20).repartition(4))
+    counts = cat.file_row_counts("t")
+    assert sum(counts) == 20
+    assert len(counts) == 4
+    first = cat.snapshots("t")[0]["id"]
+    cat.write("t", spark.range(7).repartition(2))
+    assert sum(cat.file_row_counts("t")) == 7
+    cat.rollback("t", first)
+    assert sum(cat.file_row_counts("t")) == 20
+    with pytest.raises(FileNotFoundError):
+        cat.file_row_counts("nope")
+
+
 # ---------------------------------------------------------------------------
 # IcebergCatalog logic without jars: a recording fake SparkSession pins
 # the SQL/DataFrameWriterV2 calls the catalog would issue on a real

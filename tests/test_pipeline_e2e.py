@@ -67,6 +67,30 @@ def test_observability_tables(finished):
     assert "Triage report" in triage.collect()[0].report
 
 
+def test_footer_metrics_match_snapshot_counts(finished):
+    """Stage row_count metrics now come from parquet footers (no data
+    scan) — they must equal the actual snapshot counts, and the
+    per-partition (per-file) rows must sum to the total."""
+    pipe, _, _ = finished
+    metrics = (
+        pipe.catalog.read("run_metrics").filter(F.col("run_id") == "e2e").collect()
+    )
+    for stage, tbl in [("normalize", "normalized"), ("cluster", "clusters")]:
+        total = [
+            r.value
+            for r in metrics
+            if r.stage == stage and r.metric == "row_count"
+        ]
+        assert len(total) == 1
+        assert total[0] == pipe.table("e2e", tbl).count()
+        per_part = sum(
+            r.value
+            for r in metrics
+            if r.stage == stage and r.metric == "partition_row_count"
+        )
+        assert per_part == total[0]
+
+
 def test_rerun_skips_everything(finished, synth_corpus):
     pipe, _, _ = finished
     pages, _ = synth_corpus
