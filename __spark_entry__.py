@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from entity_resolution_engine_spark.operators import ann as ANN
 from entity_resolution_engine_spark.operators import dedup as DD
+from entity_resolution_engine_spark.operators import sessions as SESS
 from entity_resolution_engine_spark.operators import textstats as TS
 from entity_resolution_engine_spark.plans.flagship import resolve_documents
 from entity_resolution_engine_spark.sources.readers import load_table
@@ -284,6 +285,22 @@ def q_windowed_event_counts(spark, sf):
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 3).alias("total_value"),
         )
+    )
+
+
+def q_session_windows(spark, sf):
+    # native F.session_window sessionization (one shuffle on user_id,
+    # streaming-capable with the identical expression — see
+    # operators/sessions.py); the oracle is the classic two-window-sort
+    # gaps-and-islands SQL, so the hash match pins Spark's session
+    # merge semantics (new session iff inactivity >= gap) exactly
+    out = SESS.session_windows(_t(spark, sf, "events"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 3).alias("total_value"),
     )
 
 
@@ -654,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_dedup": q_union_dedup,
         "weighted_avg": q_weighted_avg,
         "windowed_event_counts": q_windowed_event_counts,
+        "session_windows": q_session_windows,
         "json_extract": q_json_extract,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_survivors": q_exact_dedup_survivors,
@@ -982,6 +1000,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "count(*) AS n_events, round(sum(value), 3) AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "session_windows": (
+            # gaps-and-islands: flag events STRICTLY more than 30min
+            # after the previous event of the same user (Spark merges
+            # an event landing exactly at the gap boundary — pinned by
+            # tests/test_sessions.py), cumulative-sum the flags into
+            # session ordinals, aggregate per (user, session).
+            # session_end = last event + gap.
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, value,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE"
+            "         THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), numbered AS ("
+            "  SELECT *, sum(new_sess) OVER ("
+            "    PARTITION BY user_id ORDER BY ts"
+            "    ROWS UNBOUNDED PRECEDING) AS sess"
+            "  FROM flagged) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 30 MINUTE AS session_end, "
+            "count(*) AS n_events, round(sum(value), 3) AS total_value "
+            "FROM numbered GROUP BY user_id, sess"
         ),
         "json_extract": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, "

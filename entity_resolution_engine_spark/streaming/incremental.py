@@ -106,6 +106,41 @@ def start_incremental_resolution(
     )
 
 
+def stream_session_windows(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming form of ``operators.sessions.session_windows`` — the
+    IDENTICAL session_window group key, plus a watermark so the state
+    store can evict sessions whose end is older than the watermark
+    (Structured Streaming maintains in-flight sessions incrementally
+    and merges late events that land inside an open gap).  Keeping one
+    expression for both regimes means the batch oracle value-checks
+    the streaming operator's session semantics too."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def windowed_page_metrics(
     pages_stream: DataFrame,
     window: str = "1 hour",

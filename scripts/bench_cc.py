@@ -62,7 +62,11 @@ from pyspark.sql import functions as F
 from entity_resolution_engine_spark.session import get_spark
 from entity_resolution_engine_spark.operators.cluster import connected_components
 
+import os as _os
 cpus, d = int(sys.argv[1]), sys.argv[2]
+# micro-lever knob (VERDICT r3 item 2): batch more star rounds per
+# convergence signature to trade no-op rounds for fewer sync points
+RPC = int(_os.environ.get("SPARK_GRAFT_CC_RPC", "2"))
 spark = get_spark(app_name=f"cc_{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus)
 edges = spark.read.parquet(d + "/edges")
@@ -77,7 +81,9 @@ row = edges.agg(
 def run():
     stats = {}
     t0 = time.monotonic()
-    out = connected_components(edges, all_nodes=nodes, stats_out=stats)
+    out = connected_components(
+        edges, all_nodes=nodes, rounds_per_check=RPC, stats_out=stats
+    )
     n_clusters = out.select("cluster_id").distinct().count()
     return time.monotonic() - t0, n_clusters, stats
 
