@@ -53,6 +53,47 @@ def test_session_windows_batch_semantics(spark):
     assert ends[(3, _m(30.5))] == _m(60.5)
 
 
+def test_session_windows_property_random_vs_python(spark):
+    """100 seeded random event sets vs a Python reference sessionizer
+    (strictly-greater-than-gap split, end = last + gap) — batched into
+    one Spark job via per-seed user namespaces."""
+    import random
+
+    GAP_MIN = 30
+    rows = []
+    expected: dict[tuple[int, dt.datetime], tuple[dt.datetime, int, float]] = {}
+    for seed in range(100):
+        rng = random.Random(seed)
+        user = seed
+        n = rng.randint(1, 40)
+        # minute offsets with gap-boundary values over-represented
+        offs = sorted(
+            rng.choice([rng.uniform(0, 600), rng.randint(0, 20) * GAP_MIN])
+            for _ in range(n)
+        )
+        evs = [(_m(o), float(i)) for i, o in enumerate(offs)]
+        rows += [(user, ts, v) for ts, v in evs]
+        # python reference: split when delta > gap
+        sess: list[list[tuple[dt.datetime, float]]] = [[evs[0]]]
+        for ts, v in evs[1:]:
+            if (ts - sess[-1][-1][0]).total_seconds() > GAP_MIN * 60:
+                sess.append([])
+            sess[-1].append((ts, v))
+        for s in sess:
+            start = s[0][0]
+            expected[(user, start)] = (
+                s[-1][0] + dt.timedelta(minutes=GAP_MIN),
+                len(s),
+                sum(v for _, v in s),
+            )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in session_windows(df, gap=f"{GAP_MIN} minutes").collect()
+    }
+    assert got == expected
+
+
 def test_stream_session_windows_matches_batch(spark, tmp_path):
     """The streaming operator (same expression + watermark) must emit
     the same closed sessions the batch form computes."""
