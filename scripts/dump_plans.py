@@ -20,8 +20,11 @@ NAMES = [
     "zscore_anomaly",
     "exact_dup_groups",
     "ngram_jaccard",
+    "ngram_jaccard_fast",
     "minhash_near_dup",
     "ann_bruteforce",
+    "ann_ivf_probe",
+    "session_windows",
 ]
 
 
