@@ -293,7 +293,8 @@ def q_session_windows(spark, sf):
     # streaming-capable with the identical expression — see
     # operators/sessions.py); the oracle is the classic two-window-sort
     # gaps-and-islands SQL, so the hash match pins Spark's session
-    # merge semantics (new session iff inactivity >= gap) exactly
+    # merge semantics (new session iff inactivity STRICTLY > gap;
+    # an exact-gap event still merges) exactly
     out = SESS.session_windows(_t(spark, sf, "events"), gap="30 minutes")
     return out.select(
         "user_id",

@@ -187,6 +187,15 @@ def connected_components(
         cur = catalog.read(checkpoint_table)
         id_map = catalog.read(idmap_table)
     else:
+        if catalog is not None and catalog.exists(checkpoint_table):
+            # a stale checkpoint we are NOT resuming from (e.g. a
+            # pre-surrogate string-edge table with no idmap sidecar)
+            # must be dropped BEFORE the first idmap commit: if it
+            # survived until the idmap write and the run crashed
+            # between the two commits, the next run would see
+            # idmap + old-format edges together and resume on
+            # mismatched state (ADVICE r4)
+            catalog.drop(checkpoint_table)
         id_map = node_id_map(edges, all_nodes)
         cur = (
             edges_to_ids(edges.select("src", "dst"))

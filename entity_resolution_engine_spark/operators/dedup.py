@@ -436,12 +436,20 @@ def simhash_near_duplicates(
     nblocks = max_hamming + 1
     nbits = 60 if hash_mode == "md5_60" else 64
     width = nbits // nblocks
+    # the LAST block absorbs the remainder bits when nblocks does not
+    # divide nbits — otherwise nbits % nblocks high bits would be
+    # covered by no block and a pair differing only there would break
+    # the <= max_hamming pigeonhole recall guarantee (ADVICE r4; both
+    # shipped configs 64/4 and 60/4 divide exactly, so this is purely
+    # defensive for other max_hamming values)
+    def _block_width(i: int) -> int:
+        return width if i < nblocks - 1 else nbits - (nblocks - 1) * width
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("block_idx"),
                 F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
+                    F.lit((1 << _block_width(i)) - 1)
                 ).alias("block_val"),
             )
             for i in range(nblocks)
@@ -571,8 +579,15 @@ def ngram_jaccard_pairs_fast(
     1-(1-J)^num_bands and the final Jaccard filter is exact either way
     (array_intersect/array_union over the distinct gram-hash sets —
     equal to string-gram Jaccard absent 64-bit collisions), so both
-    variants return the same pairs.  Pytest pins sf-scale equality; the
-    md5 path remains the DuckDB-oracle query."""
+    variants return the same pairs UP TO LSH BLOCKING RECALL: the two
+    paths use different band hash functions, so a borderline pair
+    (J barely above min_jaccard) can be blocked by one and missed by
+    the other with probability up to (1-J)^num_bands (~1.7% at J=0.4,
+    8 bands); on pairs well above the S-curve knee the outputs are
+    identical.  Pytest (and the `ngram_fast_parity_diff` contract
+    query) pin sf-scale equality on the test corpus, whose near-dup
+    pairs sit far above the knee; the md5 path remains the
+    DuckDB-oracle query."""
     tokens = H.tokens_col(F.lower(F.col(text_col)))
     docs = documents.select(
         F.col(id_col).alias("id"), H.token_hashes_col(tokens).alias("th")

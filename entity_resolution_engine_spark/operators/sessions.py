@@ -39,7 +39,9 @@ def session_windows(
     value_col: str = "value",
 ) -> DataFrame:
     """(user_id, session_start, session_end, n_events, total_value) —
-    one row per (user, session), sessions split at inactivity >= gap."""
+    one row per (user, session), sessions split at inactivity
+    STRICTLY > gap (an event exactly at the previous session's end
+    still merges — the boundary the oracle and tests pin)."""
     return (
         events.groupBy(
             F.col(user_col).alias("user_id"),

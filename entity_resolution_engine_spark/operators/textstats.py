@@ -144,6 +144,7 @@ def document_fingerprints_md5(
     k: int = 8,
     window: int = 16,
     text_col: str = "text",
+    caches: list | None = None,
 ) -> DataFrame:
     """(doc_id, fingerprint) — winnowing (Schleimer et al., SIGMOD'03)
     with an md5-derived k-gram hash, pure JVM expressions.
@@ -167,7 +168,14 @@ def document_fingerprints_md5(
         lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10)
         .cast("long"),
     )
-    docs = documents.filter(n >= k).select("doc_id", gram_hashes.alias("h"))
+    # persist the gram-hash array: `mins` references "h" three times
+    # (size guard + global min + per-window slice mins) and Catalyst's
+    # project collapsing would otherwise inline — and recompute — the
+    # O(len) interpreted md5 transform once per reference (same trap as
+    # the fused ngram UDF, dedup.py; VERDICT r4 item 4)
+    docs = documents.filter(n >= k).select("doc_id", gram_hashes.alias("h")).persist()
+    if caches is not None:
+        caches.append(docs)
     m = F.size("h")
     mins = F.when(m <= window, F.array(F.array_min("h"))).otherwise(
         F.transform(
