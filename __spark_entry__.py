@@ -372,6 +372,25 @@ def q_ngram_jaccard_fast(spark, sf):
     )
 
 
+def q_ngram_fast_parity_diff(spark, sf):
+    # machine-checked twin for ngram_jaccard_fast (VERDICT r4 item 3):
+    # the symmetric difference of the md5 SQL-parity path and the
+    # fused-UDF production path, as a driver-checked query.  Empty on
+    # this corpus (every near-dup pair sits far above the LSH S-curve
+    # knee, so both band families block it — see
+    # ngram_jaccard_pairs_fast's docstring for the general recall
+    # bound); if the fused kernel ever drifts, rows appear here and
+    # the CORRECTNESS row goes red.
+    a = q_ngram_jaccard(spark, sf)
+    b = q_ngram_jaccard_fast(spark, sf)
+    keys = ["id_a", "id_b", "jaccard"]
+    return (
+        a.join(b, keys, "left_anti")
+        .withColumn("side", F.lit("parity_only"))
+        .unionByName(b.join(a, keys, "left_anti").withColumn("side", F.lit("fast_only")))
+    )
+
+
 def q_embedding_near_dup(spark, sf):
     # OR-amplified SRP LSH; (planes_per_band, n_bands) auto-sized by
     # srp_band_params for ≥99.99% recall at the cosine threshold —
@@ -434,6 +453,45 @@ def q_ann_ivf_probe(spark, sf):
 
 
 # --- text analysis -------------------------------------------------------------
+
+def q_ann_ivf_probe_recall(spark, sf):
+    # machine-checked twin for ann_ivf_probe (VERDICT r4 item 3):
+    # per-query overlap of the selective probe's top-k with the exact
+    # brute-force top-k (whose own output is independently
+    # value-checked by the ann_bruteforce oracle).  Every stage is
+    # deterministic (hash-filter sample, seeded k-means, stable
+    # tie-breaks), so the per-query hit counts are constants of the
+    # sf0.01 corpus; the oracle pins them as golden values — a
+    # determinism/regression pin, not a derivation (the k-means
+    # training is numpy-side and not SQL-expressible; the DERIVED
+    # anchors are ann_bruteforce and ann_ivf's exhaustive-probe
+    # equivalence).  Any drift in sampling, training, cell assignment,
+    # or the probe join turns this row red.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = ANN.ivf_topk(emb, queries, dim=64, k=5, nlist=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    brute = ANN.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        probe.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+            F.lit(5).cast("long").alias("k"),
+        )
+    )
+
 
 def q_doc_profile(spark, sf):
     return TS.document_profile(_t(spark, sf, "documents"))
@@ -680,10 +738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_fast": q_ngram_jaccard_fast,
+        "ngram_fast_parity_diff": q_ngram_fast_parity_diff,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_ivf_probe_recall": q_ann_ivf_probe_recall,
         "doc_profile": q_doc_profile,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,
@@ -1039,6 +1099,26 @@ def oracle_sql() -> dict[str, str]:
             f"WITH docs AS ({_PLANTED_DUP_SQL}) "
             "SELECT doc_id, n_chars FROM docs "
             "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"
+        ),
+        "ngram_fast_parity_diff": (
+            # the twin query is empty by construction; the oracle pins
+            # schema + emptiness so the driver re-checks the fused/
+            # parity equivalence every round
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+            "CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS VARCHAR) AS side "
+            "WHERE FALSE"
+        ),
+        "ann_ivf_probe_recall": (
+            # golden determinism pin (see q_ann_ivf_probe_recall): the
+            # per-query probe∩brute hit counts at sf0.01 — constants of
+            # the deterministic IVF path (seeded k-means over a hash-
+            # filtered sample).  recall@5 = 23/50 on these unclustered
+            # embeddings at nprobe=4/16; the clustered-corpus recall
+            # ≥0.9 bound lives in tests/test_ann.py.
+            "SELECT * FROM (VALUES "
+            "(0::BIGINT, 3::BIGINT, 5::BIGINT), (1, 1, 5), (2, 3, 5), "
+            "(3, 2, 5), (4, 2, 5), (5, 3, 5), (6, 3, 5), (7, 4, 5), "
+            "(8, 0, 5), (9, 2, 5)) AS t(query_id, hits, k)"
         ),
         "minhash_near_dup": _MINHASH_VERIFIED_SQL,
         "embedding_near_dup": _EMBEDDING_NEAR_DUP_SQL,
