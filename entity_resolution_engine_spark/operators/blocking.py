@@ -7,7 +7,7 @@ at 10^12 documents.  This stage replaces it with two composable
 blocking strategies (SURVEY.md §4.1):
 
 - **exact**: equality on ``md5(norm_text)``.  Within an exact block we
-  do NOT emit all O(k²) pairs — a star to the block's minimum url is
+  do NOT emit all O(k²) pairs — a star to the block's minimum id is
   enough for the transitive-clustering stage and turns a 10^6-copy
   boilerplate page from 10^12 pairs into 10^6 edges.
 - **lsh**: MinHash-LSH over word-shingles.  Token base-hashing is one
@@ -15,8 +15,26 @@ blocking strategies (SURVEY.md §4.1):
   signature, and band keys are ONE numpy-vectorized pandas UDF;
   candidate pairs come from a self-equi-join on the band key.
 
+**Integer-surrogate byte diet (round 5).**  The block+score stage is
+memory-bandwidth-bound on this class of hardware (BASELINE.md round-4
+Amdahl ledger: 2.1-2.3x speedup for 4x threads with <0.5% serial
+share), so every column crossing an exchange here is sized for bytes:
+
+- documents travel as ``uid = xxhash64(url)`` (8 B) instead of the url
+  string (~40-60 B on web corpora).  Urls re-attach in the scoring
+  stage's enrichment join — which exists anyway to fetch match keys —
+  so pair generation never ships a string.  Same surrogate policy as
+  ``operators/cluster.py`` (which derives the identical ids and FAILS
+  LOUDLY on a collision via its id-map cardinality check; widen to a
+  2x64-bit composite if a corpus approaches ~2^32 documents).
+- LSH block keys stay 64-bit LONGS end-to-end (the round-1..4 design
+  cast them to ~20-byte decimal strings for the '#'-suffix sub-block
+  naming); sub-block splits are a separate small int column.
+- exact blocks group on ``unhex(text_md5)`` (16 B binary) instead of
+  the 32-char hex string.
+
 Skew handling ("no silent caps"): blocks larger than
-``max_block_size`` are *split* deterministically by url-hash into
+``max_block_size`` are *split* deterministically by uid into
 sub-blocks (all-pairs within each) and re-linked through their
 per-sub-block representatives — connectivity is preserved for
 clustering while per-block pair count stays bounded.  The split is
@@ -33,25 +51,48 @@ from ..config import BlockingConfig
 from ..functions import hashing as H
 
 
+def uid_col(url=None) -> F.Column:
+    """The 8-byte document surrogate: xxhash64(url) — pure function,
+    identical on every executor, no dictionary join to create it
+    (mirrors cluster.edges_to_ids)."""
+    return F.xxhash64(F.col("url") if url is None else url)
+
+
+def attach_urls(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(uid_a, uid_b, …) pairs → (url_a, url_b, …): re-attach the url
+    strings from a nodes frame carrying ``url``.  The production path
+    does this inside score_pairs' enrichment join for free; this
+    helper exists for tests/debugging and for consumers that want raw
+    candidate pairs in url space."""
+    ids = nodes.select(uid_col().alias("uid"), "url")
+    rest = [c for c in pairs.columns if c not in ("uid_a", "uid_b")]
+    return (
+        pairs.join(ids.select(F.col("uid").alias("uid_a"), F.col("url").alias("url_a")), "uid_a")
+        .join(ids.select(F.col("uid").alias("uid_b"), F.col("url").alias("url_b")), "uid_b")
+        .select("url_a", "url_b", *rest)
+    )
+
+
 def _pairs_within_blocks(members: DataFrame, strategy: str) -> DataFrame:
     """All-pairs self-join within (bounded-size) blocks.
 
-    ``members``: (block_key: string, url: string).  Emits
-    (url_a < url_b, block_key, strategy).  The join shuffles both
-    sides on block_key once; AQE splits any residual skew.
+    ``members``: (block_key: long, sub: int, uid: long).  Emits
+    (uid_a < uid_b, block_key, strategy).  The join shuffles both
+    sides on (block_key, sub) once — 12 bytes of key — and AQE splits
+    any residual skew.
     """
-    a = members.select(F.col("block_key"), F.col("url").alias("url_a"))
-    b = members.select(F.col("block_key"), F.col("url").alias("url_b"))
+    a = members.select("block_key", "sub", F.col("uid").alias("uid_a"))
+    b = members.select("block_key", "sub", F.col("uid").alias("uid_b"))
     return (
-        a.join(b, "block_key")
-        .filter(F.col("url_a") < F.col("url_b"))
+        a.join(b, ["block_key", "sub"])
+        .filter(F.col("uid_a") < F.col("uid_b"))
         # every output re-aliased: the downstream union with
         # rep_star_edges (built from the SAME members frame) must not
         # share attribute ids across branches — Spark 4.1's union
         # constraint rewrite fails with `key not found` otherwise
         .select(
-            F.col("url_a").alias("url_a"),
-            F.col("url_b").alias("url_b"),
+            F.col("uid_a").alias("uid_a"),
+            F.col("uid_b").alias("uid_b"),
             F.col("block_key").alias("block_key"),
             F.lit(strategy).alias("strategy"),
         )
@@ -63,25 +104,26 @@ def exact_candidates(normalized: DataFrame) -> DataFrame:
 
     Skew-safe shape: block minima come from a groupBy (partial
     aggregation combines map-side, so a 10^6-copy boilerplate page
-    costs each task only one row) and members re-join on text_md5 with
-    AQE skew-join splitting the hot key's shuffle partition.  The
-    earlier window formulation sorted each md5 block inside ONE task —
-    exactly the hot-key failure mode the north_rule calls out.  Emits
-    nothing for singleton blocks.
-    """
+    costs each task only one row) and members re-join on the BINARY
+    md5 (16 B vs 32 B hex) with AQE skew-join splitting the hot key's
+    shuffle partition.  The earlier window formulation sorted each md5
+    block inside ONE task — exactly the hot-key failure mode the
+    north_rule calls out.  Emits nothing for singleton blocks.
+    ``block_key`` provenance is xxhash64 of the md5 (joinable back to
+    normalized.text_md5 when debugging)."""
     members = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
-    ).select("text_md5", "url")
-    roots = members.groupBy("text_md5").agg(
-        F.min("url").alias("root"), F.count("*").alias("n")
+    ).select(F.unhex("text_md5").alias("mk"), uid_col().alias("uid"))
+    roots = members.groupBy("mk").agg(
+        F.min("uid").alias("root"), F.count("*").alias("n")
     ).filter(F.col("n") > 1)
     return (
-        members.join(roots, "text_md5")
-        .filter(F.col("url") != F.col("root"))
+        members.join(roots, "mk")
+        .filter(F.col("uid") != F.col("root"))
         .select(
-            F.col("root").alias("url_a"),
-            F.col("url").alias("url_b"),
-            F.col("text_md5").alias("block_key"),
+            F.col("root").alias("uid_a"),
+            F.col("uid").alias("uid_b"),
+            F.xxhash64("mk").alias("block_key"),
             F.lit("exact").alias("strategy"),
         )
     )
@@ -93,7 +135,8 @@ def lsh_blocks(
     caches: list | None = None,
     champions: bool = True,
 ) -> DataFrame:
-    """normalized_pages → (block_key, url) LSH band membership.
+    """normalized_pages → (block_key: long, uid: long) LSH band
+    membership.
 
     Shingling/base-hashing is JVM; signature + banding is ONE fused
     pandas-UDF call (hashing.make_minhash_band_udf).  The band-array
@@ -110,11 +153,16 @@ def lsh_blocks(
     agreeing band — quadratic waste on a boilerplate-heavy web corpus
     (a 10^6-copy page would otherwise contribute 10^6 members to all
     48 of its band buckets).  The dedup groupBy runs on the POST-UDF
-    doc-level rows (url, md5, 48-band array ≈ 0.4 KB) — identical
-    texts have identical band arrays, the UDF runs once map-side, and
-    neither document text nor the 48x-larger exploded membership is
-    ever shuffled.  Clusters still form transitively: clone → champion
-    (exact star) → near-dup neighbors (LSH).
+    doc-level rows (uid 8 B, binary md5 16 B, 48-band array ≈ 0.4 KB) —
+    identical texts have identical band arrays, the UDF runs once
+    map-side, and neither document text nor the 48x-larger exploded
+    membership is ever shuffled.  Clusters still form transitively:
+    clone → champion (exact star) → near-dup neighbors (LSH).
+
+    ``compose_domain`` composes the domain into the band key as
+    ``xxhash64(domain, band_hash)`` — still one 8-byte long (the
+    string-concat composite of rounds 1-4 shipped ~30 B per membership
+    row).
 
     ``champions=False`` bands EVERY document instead: the champion
     dedup is only sound when exact_candidates supplies the
@@ -129,17 +177,21 @@ def lsh_blocks(
     )
     raw = normalized.filter(
         F.col("norm_text").isNotNull() & (F.col("norm_text") != "")
-    ).select("url", "text_md5", *(["domain"] if cfg.compose_domain else []),
-             band_udf(th).alias("band_arr"))
-    cols = ["url"] + (["domain"] if cfg.compose_domain else [])
+    ).select(
+        uid_col().alias("uid"),
+        F.unhex("text_md5").alias("mk"),
+        *([F.col("domain")] if cfg.compose_domain else []),
+        band_udf(th).alias("band_arr"),
+    )
+    cols = ["uid"] + (["domain"] if cfg.compose_domain else [])
     if champions:
         champ_aggs = [
-            F.min("url").alias("url"),
+            F.min("uid").alias("uid"),
             F.first("band_arr").alias("band_arr"),  # identical across the md5 group
         ]
         if cfg.compose_domain:
-            champ_aggs.append(F.min_by("domain", "url").alias("domain"))
-        banded = raw.groupBy("text_md5").agg(*champ_aggs).select(
+            champ_aggs.append(F.min_by("domain", "uid").alias("domain"))
+        banded = raw.groupBy("mk").agg(*champ_aggs).select(
             *cols, "band_arr"
         ).persist()
     else:
@@ -148,29 +200,31 @@ def lsh_blocks(
         caches.append(banded)
     exploded = banded.select(*cols, F.explode("band_arr").alias("band_hash"))
     if cfg.compose_domain:
-        # composite blocking key (north_star): domain + LSH band
-        key = F.concat_ws("|", F.col("domain"), F.col("band_hash").cast("string"))
+        # composite blocking key (north_star): domain + LSH band,
+        # folded into one long
+        key = F.xxhash64(F.col("domain"), F.col("band_hash"))
     else:
-        key = F.col("band_hash").cast("string")
-    return exploded.select(key.alias("block_key"), "url")
+        key = F.col("band_hash")
+    return exploded.select(key.alias("block_key"), "uid")
 
 
 def split_oversized_blocks(
     members: DataFrame, cfg: BlockingConfig
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Bound block sizes: blocks ≤ max_block_size pass through; larger
-    blocks are split by url-rank round-robin into ceil(size/max)
-    sub-blocks (named ``<base>#<i>`` — '#' never occurs in band or md5
-    keys).  Connectivity across the pieces is restored by
-    ``rep_star_edges`` over the bounded membership: a star (not an
-    all-pairs rep block) keeps the bound — a 10^6-copy page with max=64
-    yields ~15 625 reps; all-pairs over them would be ~1.2e8 pairs from
-    ONE block, while the star adds exactly n_subblocks-1 edges
-    (connectivity is all the clustering stage needs, mirroring
-    exact_candidates).
+) -> tuple[DataFrame, DataFrame]:
+    """Bound block sizes: blocks ≤ max_block_size pass through with
+    ``sub = -1``; larger blocks are split by uid-hash into
+    ceil(size/max) sub-blocks numbered 0..n_sub-1 in a separate int
+    column (keys stay longs — no string concat).  Connectivity across
+    the pieces is restored by ``rep_star_edges`` over the bounded
+    membership: a star (not an all-pairs rep block) keeps the bound —
+    a 10^6-copy page with max=64 yields ~15 625 reps; all-pairs over
+    them would be ~1.2e8 pairs from ONE block, while the star adds
+    exactly n_subblocks-1 edges (connectivity is all the clustering
+    stage needs, mirroring exact_candidates).
 
     Returns (bounded_members, block_stats):
-    - bounded_members: (block_key, url), every block ≤ max_block_size
+    - bounded_members: (block_key, sub, uid), every (block_key, sub)
+      group ≤ ~max_block_size
     - block_stats reports every split block (key, size, n_subblocks) —
       the no-silent-caps ledger.
 
@@ -178,14 +232,14 @@ def split_oversized_blocks(
     groupBy; only OVERSIZED keys (a tiny set — the Zipf head) are
     broadcast back, so the overwhelming singleton/small majority of
     members passes through with NO sort and NO wide join.  Sub-block
-    assignment is ``xxhash64(url) % n_sub`` — url-global, windowless:
-    a pair of urls that co-occurs in MANY oversized buckets (48 LSH
-    bands all hot for the same page family) lands in the same sub-index
-    everywhere, so the cross-band pair union dedups to ~one band's
-    worth instead of re-slicing per band (the earlier rank round-robin
-    emitted ~88% of all-pairs across bands for a 600-doc family).  The
-    per-sub-block size bound is probabilistic (Poisson around
-    max_block_size) — AQE's skew split absorbs the tail.
+    assignment is ``pmod(uid, n_sub)`` — uid-global, windowless: a
+    pair of uids that co-occurs in MANY oversized buckets (48 LSH
+    bands all hot for the same page family) lands in the same
+    sub-index everywhere, so the cross-band pair union dedups to ~one
+    band's worth instead of re-slicing per band (the earlier rank
+    round-robin emitted ~88% of all-pairs across bands for a 600-doc
+    family).  The per-sub-block size bound is probabilistic (Poisson
+    around max_block_size) — AQE's skew split absorbs the tail.
     """
     hot = F.broadcast(
         members.groupBy("block_key")
@@ -195,19 +249,16 @@ def split_oversized_blocks(
     tagged = members.join(hot, "block_key", "left")
 
     small = tagged.filter(F.col("block_size").isNull()).select(
-        F.col("block_key").cast("string").alias("block_key"), "url"
+        "block_key", F.lit(-1).alias("sub"), "uid"
     )
     n_sub = F.ceil(F.col("block_size") / cfg.max_block_size).cast("long")
     sub_members = tagged.filter(F.col("block_size").isNotNull()).select(
-        F.concat_ws(
-            "#",
-            F.col("block_key").cast("string"),
-            F.pmod(F.xxhash64("url"), n_sub),
-        ).alias("block_key"),
-        "url",
+        "block_key",
+        F.pmod(F.col("uid"), n_sub).cast("int").alias("sub"),
+        "uid",
     )
     stats = hot.select(
-        F.col("block_key").cast("string").alias("block_key"),
+        "block_key",
         "block_size",
         F.ceil(F.col("block_size") / cfg.max_block_size).cast("long").alias(
             "n_subblocks"
@@ -218,30 +269,26 @@ def split_oversized_blocks(
 
 def rep_star_edges(bounded_members: DataFrame) -> DataFrame:
     """Star edges re-linking a split block's sub-blocks through their
-    representatives: for each base key, every sub-block's min url points
-    at the global min.  Computed FROM the bounded membership (which the
-    caller has persisted) — sub-block keys are ``<base>#<i>``, so two
-    small aggregations over the (rare) split rows suffice.  An earlier
-    formulation derived these from the pre-split frame and recomputed
-    the whole 10M-row explode + hot-count shuffle twice per action —
-    measured 30s for zero output rows at 250k pages."""
-    split = bounded_members.filter(F.col("block_key").contains("#")).select(
-        F.regexp_replace("block_key", r"#\d+$", "").alias("base_key"),
-        "block_key",
-        "url",
-    )
-    reps = split.groupBy("base_key", "block_key").agg(F.min("url").alias("rep"))
+    representatives: for each split base key, every sub-block's min uid
+    points at the global min.  Computed FROM the bounded membership
+    (which the caller has persisted) — split rows carry ``sub >= 0``,
+    so two small aggregations over the (rare) split rows suffice.  An
+    earlier formulation derived these from the pre-split frame and
+    recomputed the whole 10M-row explode + hot-count shuffle twice per
+    action — measured 30s for zero output rows at 250k pages."""
+    split = bounded_members.filter(F.col("sub") >= 0)
+    reps = split.groupBy("block_key", "sub").agg(F.min("uid").alias("rep"))
     # roots from the membership directly (min of sub-mins == block min);
     # deriving them from `reps` makes the join self-referencing, which
     # trips Spark 4.1's union constraint rewrite (key not found: dst#N)
-    roots = split.groupBy("base_key").agg(F.min("url").alias("root"))
+    roots = split.groupBy("block_key").agg(F.min("uid").alias("root"))
     return (
-        reps.join(roots, "base_key")
+        reps.join(roots, "block_key")
         .filter(F.col("rep") != F.col("root"))
         .select(
-            F.col("root").alias("url_a"),  # root is the min rep: a < b holds
-            F.col("rep").alias("url_b"),
-            F.concat(F.lit("rep#"), F.col("base_key")).alias("block_key"),
+            F.col("root").alias("uid_a"),  # root is the min rep: a < b holds
+            F.col("rep").alias("uid_b"),
+            F.col("block_key").alias("block_key"),
             F.lit("lsh").alias("strategy"),
         )
     )
@@ -258,13 +305,13 @@ def lsh_candidates(
     Both the size-count join and the pair self-join reference their
     input twice; without materialization Catalyst would re-run the
     whole signature UDF once per branch (4x the Python cost).  The band
-    membership is tiny relative to the corpus (url + band hash), so
-    persisting it is the cheap side of that trade — the cluster-scale
-    pipeline additionally snapshots candidates to the catalog between
-    stages.  ``caches`` (when given) collects every frame persisted
-    here so the caller can unpersist once candidates are materialized —
-    otherwise the caches outlive the blocking stage and pressure
-    executor storage across pipeline runs."""
+    membership is tiny relative to the corpus (16 B: long key + int
+    sub + long uid), so persisting it is the cheap side of that trade —
+    the cluster-scale pipeline additionally snapshots candidates to the
+    catalog between stages.  ``caches`` (when given) collects every
+    frame persisted here so the caller can unpersist once candidates
+    are materialized — otherwise the caches outlive the blocking stage
+    and pressure executor storage across pipeline runs."""
     blocks = lsh_blocks(
         normalized, cfg, caches, champions=champions
     )  # persists pre-explode internally
@@ -281,13 +328,17 @@ def lsh_candidates(
 def candidate_pairs(
     normalized: DataFrame, cfg: BlockingConfig, caches: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """Union of blocking strategies, deduped on (url_a, url_b).
+    """Union of blocking strategies, deduped on (uid_a, uid_b).
 
-    The dedup is the one mandatory wide shuffle of the blocking stage
-    (SURVEY.md §2.6) — UNION DISTINCT across strategies so a pair found
-    by both exact and LSH scores once.  ``strategy`` keeps the
-    highest-precision provenance (exact < lsh lexicographically — min
-    picks 'exact' deterministically).
+    Output schema: (uid_a long, uid_b long, block_key long, strategy
+    string) — integer surrogates, by design: the dedup here is the one
+    mandatory wide shuffle of the blocking stage (SURVEY.md §2.6) and
+    it ships 16 B of ids per row instead of ~100 B of url strings.
+    Urls re-attach in score_pairs' enrichment join (or via
+    ``attach_urls`` for direct consumers).  UNION DISTINCT across
+    strategies so a pair found by both exact and LSH scores once;
+    ``strategy`` keeps the highest-precision provenance (exact < lsh
+    lexicographically — min picks 'exact' deterministically).
     """
     parts = []
     stats = None
@@ -304,21 +355,21 @@ def candidate_pairs(
         raise ValueError(f"no known blocking strategies in {cfg.strategies!r}")
     if stats is None:  # exact-only: empty split ledger, same schema
         stats = normalized.sparkSession.createDataFrame(
-            [], "block_key string, block_size long, n_subblocks long"
+            [], "block_key long, block_size long, n_subblocks long"
         )
     if len(parts) == 1:
         if "lsh" in cfg.strategies:
             # a pair can surface from several band buckets — dedup it
-            return parts[0].dropDuplicates(["url_a", "url_b"]), stats
+            return parts[0].dropDuplicates(["uid_a", "uid_b"]), stats
         # exact star edges are unique by construction — no shuffle
         return parts[0], stats
     pairs = (
         parts[0].unionByName(parts[1])
-        .groupBy("url_a", "url_b")
+        .groupBy("uid_a", "uid_b")
         .agg(
             F.min("strategy").alias("strategy"),
             F.min("block_key").alias("block_key"),
         )
-        .select("url_a", "url_b", "block_key", "strategy")
+        .select("uid_a", "uid_b", "block_key", "strategy")
     )
     return pairs, stats

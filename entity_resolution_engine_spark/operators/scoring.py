@@ -8,10 +8,12 @@ four similarity features → logistic match score as a pure-JVM column
 expression.  No per-row Python anywhere: the UDF is numpy-vectorized
 over each Arrow batch (functions/similarity.py).
 
-Scale notes: the two enrichment joins shuffle on url — the same key
-the blocking stage already grouped by, so AQE coalesces well; the
-feature UDF sees only (norm_a, norm_b) — Catalyst prunes every other
-column off the exchange.
+Scale notes: the two enrichment joins shuffle on the 8-byte uid
+surrogate — the same key the blocking stage already grouped by, so
+AQE coalesces well — and they are where the url strings re-attach to
+the pairs (blocking ships integer ids only; see operators/blocking.py
+round-5 byte-diet note).  The feature UDF sees only (norm_a, norm_b)
+— Catalyst prunes every other column off the exchange.
 """
 
 from __future__ import annotations
@@ -32,8 +34,11 @@ def logistic_score(raw: F.Column, cfg: ScoringConfig) -> F.Column:
 def score_pairs(
     candidates: DataFrame, normalized: DataFrame, cfg: ScoringConfig
 ) -> DataFrame:
-    """(url_a, url_b, …) → schemas.SCORED_PAIRS (+ lang_a/lang_b
-    carried for the router's conflict flags)."""
+    """(uid_a, uid_b, …) → schemas.SCORED_PAIRS (+ lang_a/lang_b
+    carried for the router's conflict flags).  Output carries url_a/
+    url_b (re-attached here from ``normalized`` via the uid join —
+    the first point in the pipeline where pair rows pay string
+    bytes)."""
     # The pairwise features run on a BOUNDED match key, not the full
     # document: the reference scores normalized NAMES (short keys —
     # players_matcher.py:19-23), and full-document similarity is
@@ -50,10 +55,11 @@ def score_pairs(
     # match_key_chars — exactly the long-document cases the
     # length_mismatch conflict flag exists for (round-2 ADVICE)
     side = normalized.select(
-        "url", key.alias("mk"), F.length("norm_text").alias("nlen"),
-        "lang", "warc_ts"
+        F.xxhash64("url").alias("uid"), "url", key.alias("mk"),
+        F.length("norm_text").alias("nlen"), "lang", "warc_ts"
     )
     a = side.select(
+        F.col("uid").alias("uid_a"),
         F.col("url").alias("url_a"),
         F.col("mk").alias("norm_a"),
         F.col("nlen").alias("len_a"),
@@ -61,13 +67,14 @@ def score_pairs(
         F.col("warc_ts").alias("ts_a"),
     )
     b = side.select(
+        F.col("uid").alias("uid_b"),
         F.col("url").alias("url_b"),
         F.col("mk").alias("norm_b"),
         F.col("nlen").alias("len_b"),
         F.col("lang").alias("lang_b"),
         F.col("warc_ts").alias("ts_b"),
     )
-    enriched = candidates.join(a, "url_a").join(b, "url_b")
+    enriched = candidates.join(a, "uid_a").join(b, "uid_b")
     # exact-strategy pairs are byte-identical on norm_text by
     # construction, so every feature is 1.0 — don't pay the Arrow
     # transfer + Python compute for a known answer (on a boilerplate-

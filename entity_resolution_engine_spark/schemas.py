@@ -63,9 +63,12 @@ NORMALIZED_PAGES = T.StructType(
 
 CANDIDATE_PAIRS = T.StructType(
     [
-        T.StructField("url_a", T.StringType(), False),
-        T.StructField("url_b", T.StringType(), False),
-        T.StructField("block_key", T.StringType(), True),
+        # integer surrogates (xxhash64(url)) — pair generation never
+        # ships url strings; urls re-attach in score_pairs' enrichment
+        # join (operators/blocking.py round-5 byte-diet note)
+        T.StructField("uid_a", T.LongType(), False),
+        T.StructField("uid_b", T.LongType(), False),
+        T.StructField("block_key", T.LongType(), True),
         T.StructField("strategy", T.StringType(), True),  # exact | lsh
     ]
 )

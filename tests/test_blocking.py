@@ -1,5 +1,9 @@
 """Blocking: recall against planted clusters, block-size bounding,
-connectivity preservation through splits."""
+connectivity preservation through splits.
+
+Pair generation works in uid space (xxhash64(url) surrogates — the
+round-5 byte diet); tests re-attach urls via ``attach_urls`` where
+they assert on url identities or feed CC."""
 
 from __future__ import annotations
 
@@ -8,6 +12,7 @@ from pyspark.sql import functions as F
 
 from entity_resolution_engine_spark.config import BlockingConfig
 from entity_resolution_engine_spark.operators.blocking import (
+    attach_urls,
     candidate_pairs,
     exact_candidates,
     split_oversized_blocks,
@@ -23,45 +28,64 @@ def normalized(spark, synth_corpus):
     return n
 
 
+def _url_edges(pairs, nodes):
+    """uid pairs → (src, dst) url edges for CC/assertions."""
+    return attach_urls(pairs, nodes).select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    )
+
+
 def test_exact_candidates_star_shape(spark):
-    # three copies of one text → 2 star edges to the min url, no triangle
+    # three copies of one text → 2 star edges to the min-uid url, no
+    # triangle
     rows = [
-        ("u1", "same text", "m1"),
-        ("u2", "same text", "m1"),
-        ("u3", "same text", "m1"),
-        ("u4", "other", "m2"),
+        ("u1", "same text", "9e107d9d372bb6826bd81d3542a419d6"),
+        ("u2", "same text", "9e107d9d372bb6826bd81d3542a419d6"),
+        ("u3", "same text", "9e107d9d372bb6826bd81d3542a419d6"),
+        ("u4", "other", "e4d909c290d0fb1ca068ffaddf22cbd0"),
     ]
     df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
-    edges = exact_candidates(df).collect()
-    assert sorted((e.url_a, e.url_b) for e in edges) == [("u1", "u2"), ("u1", "u3")]
+    edges = attach_urls(exact_candidates(df), df).collect()
+    assert len(edges) == 2
+    root_url = df.select("url").withColumn("h", F.xxhash64("url")).filter(
+        F.col("url") != "u4"
+    ).orderBy("h").first().url
+    assert all(e.url_a == root_url for e in edges)
+    assert sorted(e.url_b for e in edges) == sorted(
+        u for u in ("u1", "u2", "u3") if u != root_url
+    )
 
 
 def test_split_bounds_block_size(spark):
     cfg = BlockingConfig(max_block_size=8)
     members = spark.createDataFrame(
-        [("hot", f"u{i:03d}") for i in range(50)] + [("cold", "x1"), ("cold", "x2")],
-        ["block_key", "url"],
+        [(1001, i) for i in range(50)] + [(2002, 900), (2002, 901)],
+        "block_key long, uid long",
     )
     bounded, stats = split_oversized_blocks(members, cfg)
-    sizes = {r.block_key: r["count"] for r in bounded.groupBy("block_key").count().collect()}
-    # url-hash assignment: the bound is probabilistic (Poisson around
+    sizes = {
+        (r.block_key, r.sub): r["count"]
+        for r in bounded.groupBy("block_key", "sub").count().collect()
+    }
+    # uid-hash assignment: the bound is probabilistic (Poisson around
     # max_block_size) — assert no sub-block degenerates past 2x, the
-    # cold block passes through untouched, and membership is preserved
+    # cold block passes through untouched (sub = -1), and membership
+    # is preserved
     assert max(sizes.values()) <= 2 * cfg.max_block_size
-    assert sizes["cold"] == 2
+    assert sizes[(2002, -1)] == 2
     assert sum(sizes.values()) == 52
     st = stats.collect()
-    assert len(st) == 1 and st[0].block_key == "hot" and st[0].block_size == 50
+    assert len(st) == 1 and st[0].block_key == 1001 and st[0].block_size == 50
     # connectivity: a star links every (non-empty) sub-block rep to the
     # block minimum (NOT an all-pairs rep block — that would be
     # quadratic in n_subblocks for a mega-block)
     from entity_resolution_engine_spark.operators.blocking import rep_star_edges
 
-    n_sub_present = sum(1 for k in sizes if k.startswith("hot#"))
+    n_sub_present = sum(1 for (k, s) in sizes if k == 1001 and s >= 0)
     reps = rep_star_edges(bounded).collect()
     assert len(reps) == n_sub_present - 1
-    assert all(e.url_a == "u000" for e in reps)  # root = global min url
-    assert all(e.url_a < e.url_b for e in reps)
+    assert all(e.uid_a == 0 for e in reps)  # root = global min uid
+    assert all(e.uid_a < e.uid_b for e in reps)
 
 
 def test_blocking_recall_on_planted_clusters(spark, synth_corpus, normalized):
@@ -78,8 +102,7 @@ def test_blocking_recall_on_planted_clusters(spark, synth_corpus, normalized):
     _, labels = synth_corpus
     pairs, _ = candidate_pairs(normalized, BlockingConfig())
     assign = connected_components(
-        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
-        all_nodes=normalized.select("url"),
+        _url_edges(pairs, normalized), all_nodes=normalized.select("url")
     )
     gold = labeled_pairs(labels).filter("is_match")
     a = assign.select(F.col("url").alias("url_a"), F.col("cluster_id").alias("ca"))
@@ -94,9 +117,23 @@ def test_blocking_recall_on_planted_clusters(spark, synth_corpus, normalized):
 def test_candidate_pairs_unique(normalized):
     pairs, _ = candidate_pairs(normalized, BlockingConfig())
     n = pairs.count()
-    nd = pairs.select("url_a", "url_b").distinct().count()
+    nd = pairs.select("uid_a", "uid_b").distinct().count()
     assert n == nd
-    assert pairs.filter(F.col("url_a") >= F.col("url_b")).count() == 0
+    assert pairs.filter(F.col("uid_a") >= F.col("uid_b")).count() == 0
+
+
+def test_attach_urls_roundtrip(normalized):
+    """Every uid pair maps back to exactly one (url_a, url_b) pair —
+    the surrogate join loses and invents nothing."""
+    pairs, _ = candidate_pairs(normalized, BlockingConfig())
+    n = pairs.count()
+    withu = attach_urls(pairs, normalized)
+    assert withu.count() == n
+    assert withu.filter(
+        F.col("url_a").isNull() | F.col("url_b").isNull()
+    ).count() == 0
+    # strategy/block_key pass through
+    assert set(withu.columns) == {"url_a", "url_b", "block_key", "strategy"}
 
 
 def test_compose_domain_mode(spark, synth_corpus, normalized):
@@ -107,7 +144,9 @@ def test_compose_domain_mode(spark, synth_corpus, normalized):
     pairs, _ = candidate_pairs(normalized, cfg)
     from entity_resolution_engine_spark.functions.normalize import domain_col
 
-    lsh_pairs = pairs.filter(F.col("strategy") == "lsh")
+    lsh_pairs = attach_urls(
+        pairs.filter(F.col("strategy") == "lsh"), normalized
+    )
     cross = lsh_pairs.filter(
         domain_col(F.col("url_a")) != domain_col(F.col("url_b"))
     ).count()
@@ -117,13 +156,15 @@ def test_compose_domain_mode(spark, synth_corpus, normalized):
 
 def test_exact_candidates_skewed_block(spark):
     # one md5 block with 500 members must produce a 499-edge star
-    rows = [(f"u{i:04d}", "same", "m1") for i in range(500)] + [
-        ("z1", "other", "m2")
+    rows = [(f"u{i:04d}", "same", "9e107d9d372bb6826bd81d3542a419d6") for i in range(500)] + [
+        ("z1", "other", "e4d909c290d0fb1ca068ffaddf22cbd0")
     ]
     df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
-    edges = exact_candidates(df).collect()
+    edges = attach_urls(exact_candidates(df), df).collect()
     assert len(edges) == 499
-    assert all(e.url_a == "u0000" for e in edges)
+    roots = {e.url_a for e in edges}
+    assert len(roots) == 1  # a star, not a mesh
+    assert roots.pop().startswith("u")  # root is one of the clones
 
 
 def test_exact_hot_page_collapses_to_champion(spark):
@@ -136,15 +177,15 @@ def test_exact_hot_page_collapses_to_champion(spark):
 
     text = "identical boilerplate page body " * 8
     rows = [
-        (f"https://s{i%7}.example.org/p/{i:05d}", text.lower().strip(), "hotmd5")
+        (f"https://s{i%7}.example.org/p/{i:05d}", text.lower().strip(),
+         "9e107d9d372bb6826bd81d3542a419d6")
         for i in range(2000)
     ]
     df = spark.createDataFrame(rows, ["url", "norm_text", "text_md5"])
     pairs, _stats = candidate_pairs(df, BlockingConfig(max_block_size=64))
     assert pairs.count() == 1999  # the star; zero LSH self-pairs
     assign = connected_components(
-        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
-        all_nodes=df.select("url"),
+        _url_edges(pairs, df), all_nodes=df.select("url")
     )
     assert assign.select("cluster_id").distinct().count() == 1
 
@@ -163,7 +204,7 @@ def test_hot_lsh_block_bounded_and_connected(spark):
         (
             f"https://s{i%7}.example.org/p/{i:05d}",
             (base + f"tail{i}").lower().strip(),
-            f"md5-{i:05d}",
+            f"{i:032x}",
         )
         for i in range(600)
     ]
@@ -176,8 +217,7 @@ def test_hot_lsh_block_bounded_and_connected(spark):
     assert n_pairs < 120_000, n_pairs
     assert stats.count() > 0  # the split ledger recorded the hot blocks
     assign = connected_components(
-        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
-        all_nodes=df.select("url"),
+        _url_edges(pairs, df), all_nodes=df.select("url")
     )
     assert assign.select("cluster_id").distinct().count() == 1
 
@@ -207,8 +247,7 @@ def test_lsh_only_strategy_keeps_exact_clones_connected(spark):
     normalized = normalize_pages(pages).cache()
     pairs, _ = candidate_pairs(normalized, BlockingConfig(strategies=("lsh",)))
     assign = connected_components(
-        pairs.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst")),
-        all_nodes=normalized.select("url"),
+        _url_edges(pairs, normalized), all_nodes=normalized.select("url")
     )
     clusters = {r.url: r.cluster_id for r in assign.collect()}
     clones = {clusters[f"https://s{i}.org/p"] for i in range(4)}
