@@ -305,6 +305,14 @@ def q_session_windows(spark, sf):
     )
 
 
+def q_session_stats(spark, sf):
+    # per-key session rollup over the native session_window operator
+    # (flagship metrics surface — VERDICT r4 item 5); the second
+    # aggregation reuses the sessionization's hash partitioning, so
+    # the rollup adds no Exchange
+    return SESS.session_stats(_t(spark, sf, "events"), gap="30 minutes")
+
+
 def q_json_extract(spark, sf):
     # F13: JSON deserialization at the edge (api/main.py:101-109)
     ev = _t(spark, sf, "events").withColumn(
@@ -731,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg": q_weighted_avg,
         "windowed_event_counts": q_windowed_event_counts,
         "session_windows": q_session_windows,
+        "session_stats": q_session_stats,
         "json_extract": q_json_extract,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_survivors": q_exact_dedup_survivors,
@@ -1084,6 +1093,33 @@ def oracle_sql() -> dict[str, str]:
             "max(ts) + INTERVAL 30 MINUTE AS session_end, "
             "count(*) AS n_events, round(sum(value), 3) AS total_value "
             "FROM numbered GROUP BY user_id, sess"
+        ),
+        "session_stats": (
+            # same gaps-and-islands spine as session_windows, rolled up
+            # per user; durations via epoch seconds (session_end
+            # carries the +gap on both sides)
+            "WITH flagged AS ("
+            "  SELECT user_id, ts,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE"
+            "         THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+            "), numbered AS ("
+            "  SELECT *, sum(new_sess) OVER ("
+            "    PARTITION BY user_id ORDER BY ts"
+            "    ROWS UNBOUNDED PRECEDING) AS sess"
+            "  FROM flagged"
+            "), sessions AS ("
+            "  SELECT user_id, min(ts) AS session_start,"
+            "    max(ts) + INTERVAL 30 MINUTE AS session_end,"
+            "    count(*) AS n_events"
+            "  FROM numbered GROUP BY user_id, sess) "
+            "SELECT user_id, count(*)::BIGINT AS n_sessions, "
+            "sum(n_events)::BIGINT AS n_events, "
+            "(sum(epoch_us(session_end - session_start))::BIGINT "
+            " // count(*))::BIGINT AS avg_session_micros, "
+            "max(n_events)::BIGINT AS max_session_events "
+            "FROM sessions GROUP BY user_id"
         ),
         "json_extract": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, "

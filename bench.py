@@ -132,6 +132,30 @@ def main() -> None:
     t_full, t_scored, n_pages, n_pairs, n_clusters = best
     timings["er_pipeline_synth"] = round(t_full, 3)
     spreads["er_pipeline_synth"] = round(max(pipe_reps) - min(pipe_reps), 3)
+
+    # -- per-domain crawl sessionization at bench scale --------------------
+    # native session_window + same-partitioning rollup over the synth
+    # corpus (domain key, warc_ts) — the flagship metrics surface for
+    # sessions, exercised beyond the 9.5k-row contract table
+    from entity_resolution_engine_spark.functions.normalize import domain_col
+    from entity_resolution_engine_spark.operators.sessions import session_stats
+
+    sess_reps = []
+    for _ in range(REPS):
+        t0 = time.monotonic()
+        crawl = spark.read.parquet(corpus_dir).select(
+            domain_col(F.col("url")).alias("domain"),
+            "warc_ts",
+            F.length("text").alias("bytes"),
+        )
+        session_stats(
+            crawl, gap="1 hour", key_col="domain", ts_col="warc_ts",
+            value_col="bytes",
+        ).count()
+        sess_reps.append(time.monotonic() - t0)
+        spark.catalog.clearCache()
+    timings["domain_sessions_synth"] = round(min(sess_reps), 3)
+    spreads["domain_sessions_synth"] = round(max(sess_reps) - min(sess_reps), 3)
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

@@ -59,3 +59,51 @@ def session_windows(
             "total_value",
         )
     )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key session rollup — the flagship-surface metrics consumer
+    of ``session_windows`` (reference analog: the per-run activity
+    rollups of ues_schema.sql:76-95): (user_id, n_sessions, n_events,
+    avg_session_secs, max_session_events).
+
+    Composes as ONE logical plan: the session_window groupBy already
+    hash-partitions by user_id, so this second per-key aggregation
+    reuses that partitioning — Catalyst plans no extra Exchange (the
+    rollup is effectively free on top of sessionization; verified in
+    PLANS.md).  On the crawl corpus, key it by domain over warc_ts to
+    get per-domain crawl-activity sessions at bench scale."""
+    sw = session_windows(
+        events, gap=gap, user_col=key_col, ts_col=ts_col, value_col=value_col
+    )
+    # durations in exact integer MICROSECONDS, averaged by integer
+    # floor division: microsecond timestamps averaged as doubles land
+    # on exact .5 rounding ties (Spark HALF_UP vs DuckDB HALF_EVEN
+    # diverge — observed live at round(x, 6) on this very query), and
+    # micros at 1e15 exceed double's 53-bit mantissa anyway.  The
+    # ntz→timestamp cast is an identity under the UTC session tz.
+    dur_us = F.unix_micros(
+        F.col("session_end").cast("timestamp")
+    ) - F.unix_micros(F.col("session_start").cast("timestamp"))
+    return (
+        sw.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(dur_us).alias("total_us"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_events",
+            F.expr("total_us div n_sessions").alias("avg_session_micros"),
+            "max_session_events",
+        )
+    )

@@ -120,7 +120,16 @@ def stream_session_windows(
     (Structured Streaming maintains in-flight sessions incrementally
     and merges late events that land inside an open gap).  Keeping one
     expression for both regimes means the batch oracle value-checks
-    the streaming operator's session semantics too."""
+    the streaming operator's session semantics too.
+
+    Late-data fine print, pinned by
+    tests/test_sessions.py::test_stream_sessions_late_and_duplicate_events:
+    Spark filters late INPUT rows against the previous batch's
+    watermark but EVICTS state against the current one, and both only
+    run when a micro-batch executes — so a late row in the very batch
+    that first advances the watermark still emits (as a fragment
+    session), while the same row one batch later is dropped; evicted
+    sessions are immutable either way."""
     return (
         events_stream.withWatermark(ts_col, watermark)
         .groupBy(

@@ -1,0 +1,143 @@
+"""Pure-numpy microbench for the MinHash signature kernel — no Spark.
+
+The fused band UDF's inner loop is 192 multiply-shift passes over the
+batch's flattened shingle array.  At Arrow batch sizes (~10k docs x
+~200 shingles = 2M x 8 B = 16 MB) each pass streams its input and temp
+through DRAM; under local[32] all workers contend for the same memory
+bus — the measured 2.1-2.3x block+score saturation.  Cache-blocking
+the loop (chunk the flat array so the working set fits in L2, run all
+192 hashes per chunk) keeps the traffic on-core without changing a
+single output bit.
+
+Usage: python scripts/bench_minhash_kernel.py [n_docs] [avg_shingles]
+       [n_procs]
+Runs both kernels in-process, asserts bit-identity, then re-times them
+under n_procs concurrent processes (the contention regime that matters
+at local[32]).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from entity_resolution_engine_spark.functions.hashing import (  # noqa: E402
+    _minhash_matrix_flat,
+    _minhash_params,
+)
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+AVG_SH = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+N_PROCS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+NUM_HASHES = 192
+
+
+def make_batch(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    lengths = rng.poisson(AVG_SH, N_DOCS).astype(np.int64)
+    flat = rng.integers(0, 2**63, size=int(lengths.sum()), dtype=np.uint64)
+    return flat, lengths
+
+
+def minhash_chunked(
+    flat: np.ndarray, lengths: np.ndarray, num_hashes: int,
+    chunk_elems: int = 1 << 16,
+) -> np.ndarray:
+    """Cache-blocked twin of _minhash_matrix_flat: identical output."""
+    n = len(lengths)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    a, b = _minhash_params(num_hashes)
+    out = np.full((n, num_hashes), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    nonempty = lengths > 0
+    ne_rows = np.nonzero(nonempty)[0]
+    if not flat.size or not ne_rows.size:
+        return out
+    buf = np.empty(min(chunk_elems + int(lengths.max()), flat.size), dtype=np.uint64)
+    # chunk boundaries in ROW space so reduceat segments never straddle
+    row_lo = 0
+    while row_lo < ne_rows.size:
+        row_hi = row_lo
+        start_elem = offsets[ne_rows[row_lo]]
+        while (
+            row_hi < ne_rows.size
+            and offsets[ne_rows[row_hi] + 1] - start_elem <= buf.size
+        ):
+            row_hi += 1
+        rows = ne_rows[row_lo:row_hi]
+        end_elem = offsets[rows[-1] + 1]
+        seg = flat[start_elem:end_elem]
+        starts = (offsets[rows] - start_elem).astype(np.int64)
+        w = buf[: seg.size]
+        for k in range(num_hashes):
+            np.multiply(seg, a[k], out=w)
+            w += b[k]
+            out[rows, k] = np.minimum.reduceat(w, starts)
+        row_lo = row_hi
+    return out
+
+
+def time_fn(fn, *args, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(*args)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _worker(kind: str, seed: int, q) -> None:
+    flat, lengths = make_batch(seed)
+    fn = (
+        (lambda: _minhash_matrix_flat(flat, lengths, NUM_HASHES))
+        if kind == "dense"
+        else (lambda: minhash_chunked(flat, lengths, NUM_HASHES))
+    )
+    fn()  # warm
+    t0 = time.perf_counter()
+    fn()
+    q.put(time.perf_counter() - t0)
+
+
+def contended(kind: str) -> float:
+    q: mp.Queue = mp.Queue()
+    procs = [
+        mp.Process(target=_worker, args=(kind, 100 + i, q))
+        for i in range(N_PROCS)
+    ]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    per = sorted(q.get() for _ in procs)
+    return wall, per[len(per) // 2]
+
+
+def main() -> None:
+    flat, lengths = make_batch()
+    mb = flat.size * 8 / 1e6
+    print(f"batch: {N_DOCS} docs, {flat.size} shingles ({mb:.0f} MB flat)")
+    ref = _minhash_matrix_flat(flat, lengths, NUM_HASHES)
+    chk = minhash_chunked(flat, lengths, NUM_HASHES)
+    assert np.array_equal(ref, chk), "chunked kernel output differs!"
+    print("bit-identity: OK")
+    t_dense = time_fn(_minhash_matrix_flat, flat, lengths, NUM_HASHES)
+    t_chunk = time_fn(minhash_chunked, flat, lengths, NUM_HASHES)
+    print(f"single-proc: dense {t_dense:.3f}s  chunked {t_chunk:.3f}s  "
+          f"ratio {t_dense / t_chunk:.2f}x")
+    wd, md = contended("dense")
+    wc, mc = contended("chunked")
+    print(f"{N_PROCS}-proc contention: dense wall {wd:.2f}s (median kernel "
+          f"{md:.3f}s)  chunked wall {wc:.2f}s (median kernel {mc:.3f}s)  "
+          f"ratio {wd / wc:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
