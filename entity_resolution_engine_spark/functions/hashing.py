@@ -101,6 +101,61 @@ def shingle_flat(
     return out, out_lengths
 
 
+# Cache-block size for the signature inner loops, in uint64 elements
+# (256 KB — the measured sweet spot on this host's L2; 64 KB-1 MB are
+# all within ~10%).  The un-blocked form streams num_hashes full passes
+# over the batch's flat shingle array (~16 MB at Arrow batch size)
+# through DRAM; under local[32] every worker contends for the same
+# memory bus — the measured block+score saturation at 2.1-2.3x for 4x
+# threads.  Blocking keeps each pass's working set resident on-core:
+# measured (scripts/bench_minhash_kernel.py) 2.0x single-process and
+# 5.2x under 32-process contention, with BIT-IDENTICAL output.
+_CHUNK_ELEMS = 1 << 15
+
+
+def _chunked_min_fold(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    ne_rows: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    out: np.ndarray,
+) -> None:
+    """Fill ``out[row, k] = min over row's segment of flat*a[k]+b[k]``
+    for the non-empty rows ``ne_rows``, cache-blocked: rows are taken
+    in runs whose flat segments fit ``_CHUNK_ELEMS``, and all
+    ``len(a)`` hash functions run over each resident chunk before
+    moving on.  One preallocated scratch buffer; no per-iteration
+    allocation beyond reduceat's (n_chunk_rows,) result."""
+    if not flat.size or not ne_rows.size:
+        return
+    num_hashes = len(a)
+    seg_lens = offsets[ne_rows + 1] - offsets[ne_rows]
+    buf = np.empty(
+        min(int(_CHUNK_ELEMS + seg_lens.max()), int(flat.size)), dtype=np.uint64
+    )
+    row_lo = 0
+    while row_lo < ne_rows.size:
+        start_elem = int(offsets[ne_rows[row_lo]])
+        # grow the run while it still fits the scratch buffer (always
+        # admit at least one row — buf is sized for the longest)
+        row_hi = row_lo + 1
+        while (
+            row_hi < ne_rows.size
+            and offsets[ne_rows[row_hi] + 1] - start_elem <= buf.size
+        ):
+            row_hi += 1
+        rows = ne_rows[row_lo:row_hi]
+        seg = flat[start_elem : int(offsets[rows[-1] + 1])]
+        starts = (offsets[rows] - start_elem).astype(np.int64)
+        w = buf[: seg.size]
+        for k in range(num_hashes):
+            np.multiply(seg, a[k], out=w)  # uint64 wrap-around
+            w += b[k]
+            out[rows, k] = np.minimum.reduceat(w, starts)
+        row_lo = row_hi
+
+
 def _minhash_matrix_flat(
     flat: np.ndarray, lengths: np.ndarray, num_hashes: int
 ) -> np.ndarray:
@@ -108,20 +163,18 @@ def _minhash_matrix_flat(
     (n, num_hashes) uint64 signature matrix (sentinel rows where
     length == 0).
 
-    Vectorized per hash function over the whole flattened batch with a
-    single ``np.minimum.reduceat`` — cost O(num_hashes · total_shingles)
-    in C, independent of row count."""
+    Cost O(num_hashes · total_shingles) in C, cache-blocked via
+    ``_chunked_min_fold`` so the per-hash passes stay L2-resident
+    instead of streaming DRAM (bit-identical to the un-blocked form —
+    asserted in scripts/bench_minhash_kernel.py and
+    tests/test_hashing.py)."""
     n = len(lengths)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     a, b = _minhash_params(num_hashes)
     out = np.full((n, num_hashes), _EMPTY_SENTINEL, dtype=np.uint64)
-    nonempty = lengths > 0
-    starts = offsets[:-1][nonempty]
-    if flat.size:
-        for k in range(num_hashes):
-            imgs = flat * a[k] + b[k]  # uint64 wrap-around (multiply-shift)
-            out[nonempty, k] = np.minimum.reduceat(imgs, starts)
+    ne_rows = np.nonzero(lengths > 0)[0]
+    _chunked_min_fold(flat, offsets, ne_rows, a, b, out)
     return out
 
 
@@ -249,12 +302,10 @@ def make_gram_bands_udf(n: int, num_bands: int):
             dlens = np.zeros(nrows, dtype=np.int64)
         offs = np.zeros(nrows + 1, dtype=np.int64)
         np.cumsum(dlens, out=offs[1:])
-        starts = offs[:-1][nonempty]
         bands_mat = np.zeros((nrows, num_bands), dtype=np.uint64)
-        if dh.size:
-            for k in range(num_bands):
-                imgs = dh * a[k] + b[k]  # uint64 wrap-around salt
-                bands_mat[nonempty, k] = np.minimum.reduceat(imgs, starts)
+        _chunked_min_fold(
+            dh, offs, np.nonzero(nonempty)[0], a, b, bands_mat
+        )  # cache-blocked, bit-identical to the per-band full passes
         bands_mat ^= band_mix
         dh_i64 = dh.view(np.int64)
         bm_i64 = bands_mat.view(np.int64)
@@ -275,18 +326,40 @@ def make_gram_bands_udf(n: int, num_bands: int):
 def simhash64(hash_arrays: pd.Series) -> np.ndarray:
     """Batch 64-bit SimHash over per-row token-hash arrays: per bit
     position, sum ±1 contributions per row (``np.add.reduceat``), sign
-    gives the bit."""
+    gives the bit.  Cache-blocked like ``_chunked_min_fold`` — the
+    64 per-bit passes otherwise stream the whole flat batch through
+    DRAM (same contention pathology as the MinHash loop; same
+    bit-identical fix)."""
     flat, offsets, lengths = _flatten_ragged(hash_arrays)
     n = len(lengths)
     sig = np.zeros(n, dtype=np.uint64)
-    nonempty = lengths > 0
-    starts = offsets[:-1][nonempty]
-    if flat.size:
-        for bit in range(64):
-            contrib = (((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1)
-            sums = np.add.reduceat(contrib, starts)
-            bits = (sums > 0).astype(np.uint64)
-            sig[nonempty] |= bits << np.uint64(bit)
+    ne_rows = np.nonzero(lengths > 0)[0]
+    if flat.size and ne_rows.size:
+        seg_lens = offsets[ne_rows + 1] - offsets[ne_rows]
+        cap = min(int(_CHUNK_ELEMS + seg_lens.max()), int(flat.size))
+        buf = np.empty(cap, dtype=np.int64)
+        row_lo = 0
+        while row_lo < ne_rows.size:
+            start_elem = int(offsets[ne_rows[row_lo]])
+            row_hi = row_lo + 1
+            while (
+                row_hi < ne_rows.size
+                and offsets[ne_rows[row_hi] + 1] - start_elem <= cap
+            ):
+                row_hi += 1
+            rows = ne_rows[row_lo:row_hi]
+            seg = flat[start_elem : int(offsets[rows[-1] + 1])]
+            starts = (offsets[rows] - start_elem).astype(np.int64)
+            w = buf[: seg.size]
+            for bit in range(64):
+                np.right_shift(seg, np.uint64(bit), out=w.view(np.uint64))
+                wv = w.view(np.uint64)
+                wv &= np.uint64(1)
+                w *= 2
+                w -= 1
+                sums = np.add.reduceat(w, starts)
+                sig[rows] |= ((sums > 0).astype(np.uint64)) << np.uint64(bit)
+            row_lo = row_hi
     return sig.view(np.int64)
 
 

