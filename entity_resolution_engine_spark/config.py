@@ -76,6 +76,13 @@ class ScoringConfig:
     w_length_ratio: float = 0.10
     logistic_scale: float = 8.0     # steepness of the logistic squash
     logistic_midpoint: float = 0.55
+    # exact-strategy pairs are byte-identical on norm_text, so their
+    # features are 1.0 by construction; True skips the Arrow transfer +
+    # Python kernels for them (scoring.score_pairs).  Semantics-free:
+    # final exact-pair score is forced to 1.0 either way (pytest-pinned
+    # in test_scoring.py); the switch exists so the win is measurable
+    # (scripts/bench_champion_skip.py).
+    exact_skip_features: bool = True
     threshold_low: float = 0.45     # below → auto-reject
     threshold_high: float = 0.62    # at/above (no conflicts) → auto-approve
     fallback_mode: str = "auto_approve"  # gray-zone fallback when LLM disabled

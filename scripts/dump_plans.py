@@ -25,6 +25,7 @@ NAMES = [
     "ann_bruteforce",
     "ann_ivf_probe",
     "session_windows",
+    "session_stats",
 ]
 
 

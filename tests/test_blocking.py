@@ -254,3 +254,30 @@ def test_lsh_only_strategy_keeps_exact_clones_connected(spark):
     assert len(clones) == 1, f"clones split across clusters: {clusters}"
     assert clusters["https://z.org/other"] not in clones
     normalized.unpersist()
+
+
+def test_exact_skip_features_is_semantics_free(normalized):
+    """cfg.exact_skip_features only bypasses the Arrow/Python feature
+    kernels for exact-strategy pairs (their features are 1.0 by
+    construction); routing-relevant outputs must be identical with the
+    skip disabled (the measurement mode of
+    scripts/bench_champion_skip.py)."""
+    import dataclasses
+
+    from entity_resolution_engine_spark.config import ScoringConfig
+    from entity_resolution_engine_spark.operators.scoring import score_pairs
+
+    pairs, _ = candidate_pairs(normalized, BlockingConfig())
+    cfg_on = ScoringConfig()
+    cfg_off = dataclasses.replace(cfg_on, exact_skip_features=False)
+    cols = ["url_a", "url_b", "strategy", "score"]
+    on = score_pairs(pairs, normalized, cfg_on).select(*cols)
+    off = score_pairs(pairs, normalized, cfg_off).select(*cols)
+    assert on.count() == off.count()
+    assert on.exceptAll(off).count() == 0
+    # exact pairs exist in the corpus and score a forced 1.0 both ways
+    n_exact = on.filter(
+        (F.col("strategy") == "exact") & (F.col("score") == 1.0)
+    ).count()
+    assert n_exact > 0
+    assert on.filter((F.col("strategy") == "exact") & (F.col("score") != 1.0)).count() == 0
