@@ -505,6 +505,17 @@ def q_doc_profile(spark, sf):
     return TS.document_profile(_t(spark, sf, "documents"))
 
 
+def q_quality_quantiles(spark, sf):
+    # per-language quality-score quantiles (corpus-curation threshold
+    # pick).  exact=True → SQL-standard percentile_disc: the smallest
+    # observed value with cume_dist >= p, which the oracle reproduces
+    # from that very definition (min over cume_dist window) — a real
+    # data value, so no interpolation float drift.  Production at
+    # 100 TB flips exact=False (t-digest approx_percentile sketch,
+    # single-pass mergeable; sketches are never oracled).
+    return TS.quality_quantiles(_t(spark, sf, "documents"))
+
+
 def q_doc_fingerprints(spark, sf):
     # md5-mode winnowing (textstats.document_fingerprints_md5): same
     # window-min selection as the production xxhash UDF, but with an
@@ -754,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe": q_ann_ivf_probe,
         "ann_ivf_probe_recall": q_ann_ivf_probe_recall,
         "doc_profile": q_doc_profile,
+        "quality_quantiles": q_quality_quantiles,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,
         "season_normalize": q_season_normalize,
@@ -1163,6 +1175,20 @@ def oracle_sql() -> dict[str, str]:
             planted=_PLANTED_DUP_SQL, toks=_TOKS
         ),
         "doc_profile": _DOC_PROFILE_SQL,
+        # percentile_disc ≡ "smallest value with cume_dist >= p" (the
+        # SQL standard) — the oracle states that definition literally
+        # instead of gambling on DuckDB quantile_disc's indexing
+        "quality_quantiles": (
+            f"WITH prof AS ({_DOC_PROFILE_SQL}), "
+            "ranked AS (SELECT pred_lang AS lang, quality_score, "
+            "  cume_dist() OVER (PARTITION BY pred_lang "
+            "    ORDER BY quality_score) AS cd FROM prof), "
+            "probs(p) AS (VALUES (0.25), (0.5), (0.75), (0.9)) "
+            "SELECT lang, p::DOUBLE AS p, "
+            "  min(quality_score) AS quantile "
+            "FROM ranked CROSS JOIN probs WHERE cd >= p "
+            "GROUP BY lang, p"
+        ),
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
         "normalize_match_key": _NORM_SQL,

@@ -187,3 +187,53 @@ def document_fingerprints_md5(
         docs.select("doc_id", F.explode(mins).alias("fingerprint"))
         .distinct()
     )
+
+
+def quality_quantiles(
+    documents: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-language quantiles of ``quality_score`` — the corpus-curation
+    op: pick the per-language quality threshold that keeps a target
+    fraction of training data.  Output long form: (lang, p, quantile).
+
+    ``exact=True`` (contract mode) uses SQL-standard ``percentile_disc``
+    — the smallest observed value whose cume_dist >= p, a REAL data
+    point, so the DuckDB oracle reproduces it byte-for-byte from the
+    same definition (no interpolation float drift, and sketches are
+    never oracled — approx_count_distinct lesson).  ``exact=False`` is
+    the 100 TB mode: ``approx_percentile`` (t-digest), a single-pass
+    mergeable sketch that never materializes per-group sorts.
+
+    One hash-shuffle by pred_lang either way; the long-form explode is
+    per-GROUP (a handful of rows), not per-document."""
+    prof = document_profile(documents, text_col).select(
+        F.col("pred_lang").alias("lang"), "quality_score"
+    )
+    if exact:
+        aggs = [
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY quality_score)"
+            ).alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    else:
+        aggs = [
+            F.percentile_approx("quality_score", float(p)).alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    wide = prof.groupBy("lang").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"), F.col(f"_q{i}").alias("quantile")
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return (
+        wide.select("lang", F.explode(pairs).alias("_x"))
+        .select("lang", F.col("_x.p").alias("p"), F.col("_x.quantile").alias("quantile"))
+    )

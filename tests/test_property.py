@@ -118,3 +118,40 @@ def test_token_sort_ratio_order_invariant(a, b):
             token_sort_ratio(ab, ba), token_sort_ratio(ba, ab), abs_tol=1e-12
         )
         assert token_sort_ratio(ab, ba) == 1.0
+
+
+def test_flagship_invariant_to_partitioning(spark, synth_corpus):
+    """Cluster assignments must be a pure function of the DATA, not of
+    physical layout: same corpus resolved with the test session's
+    default layout vs a hostile repartition (13 input partitions,
+    7 shuffle partitions) must produce identical (url, cluster_id,
+    n_members) rows.  This is the single-box stand-in for 'the answer
+    does not change when the cluster topology does' — every operator in
+    the chain (normalize, exact+LSH blocking, scoring, routing,
+    large/small-star CC) must be deterministic under reshuffling."""
+    from entity_resolution_engine_spark.plans.flagship import resolve_documents
+
+    pages, _ = synth_corpus
+    # doc_id must stay documents-table-sized (timestamp_seconds in
+    # documents_as_pages overflows on xxhash64-scale longs) and must
+    # NOT come from monotonically_increasing_id (partition-dependent —
+    # exactly what this test forbids)
+    docs = pages.selectExpr(
+        "pmod(xxhash64(url), 1000000007L) as doc_id",
+        "text",
+        "lang",
+        "'prop' as source",
+        "length(text) as n_chars",
+    )
+    baseline = resolve_documents(spark, docs).orderBy("url").collect()
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        hostile = resolve_documents(
+            spark, docs.repartition(13)
+        ).orderBy("url").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert baseline == hostile

@@ -57,3 +57,30 @@ def test_fingerprints(spark):
     rows = {r.doc_id: r for r in TS.document_fingerprints(df).collect()}
     assert rows[1].fingerprints and len(rows[1].fingerprints) > 0
     assert rows[2].fingerprints is None  # shorter than k
+
+
+def test_quality_quantiles_exact_and_sketch(spark):
+    """exact mode returns actual observed quality scores at the
+    SQL-standard percentile_disc positions; sketch mode
+    (approx_percentile, the 100 TB single-pass path) must agree within
+    t-digest tolerance and share the output shape."""
+    texts = [f"{'word ' * (5 + 3 * i)}the and is" for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    exact = TS.quality_quantiles(df).collect()
+    approx = TS.quality_quantiles(df, exact=False).collect()
+    assert len(exact) == len(approx) > 0
+    scores = {
+        r.doc_id: r.quality_score for r in TS.document_profile(df).collect()
+    }
+    observed = set(scores.values())
+    ex = {(r.lang, r.p): r.quantile for r in exact}
+    ap = {(r.lang, r.p): r.quantile for r in approx}
+    for key, q in ex.items():
+        assert q in observed          # discrete quantile is a real value
+        assert abs(ap[key] - q) <= 0.1
+    # monotone in p within each lang
+    for lang in {r.lang for r in exact}:
+        qs = [q for (lg, p), q in sorted(ex.items()) if lg == lang]
+        assert qs == sorted(qs)
