@@ -516,6 +516,66 @@ def q_quality_quantiles(spark, sf):
     return TS.quality_quantiles(_t(spark, sf, "documents"))
 
 
+def q_gopher_repetition(spark, sf):
+    # Gopher repetition filters (Rae et al. 2021 Table A1), token-
+    # adapted for the single-line corpus: duplicate-token fraction +
+    # heaviest repeated 2/3-gram character mass, with the paper's
+    # removal thresholds as the `flagged` bit.  One explode → one
+    # partial-agg shuffle keyed (doc_id, n, gram) → doc rollup.
+    return TS.gopher_repetition(_t(spark, sf, "documents"))
+
+
+def q_url_canonicalize(spark, sf):
+    # Common-Crawl URL canonicalization: the documents table carries no
+    # urls, so (media_inventory pattern) a deterministic messy-URL
+    # corpus is synthesized from doc_id — 2-3 spellings per doc mixing
+    # case-mangled scheme/host, explicit default port, tracking params,
+    # shuffled param order, trailing slash, and a fragment — and the
+    # oracle rebuilds the same corpus in SQL and re-applies the same
+    # canonicalization rules verbatim.  group_size counts the spellings
+    # collapsed per canonical url (ONE hash shuffle, window count).
+    from entity_resolution_engine_spark.functions.urls import canonicalize_url
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    nvar = (F.pmod(F.col("doc_id"), F.lit(2)) + 2).cast("int")
+    d = docs.withColumn("v", F.explode(F.sequence(F.lit(0), nvar - 1)))
+    hostn = F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("v") == 0,
+            F.concat(
+                F.lit("HTTPS://Ex"), hostn, F.lit(".Example.COM:443/articles/"),
+                did, F.lit("/?utm_source=feed&b=2&a=1#sec"), did,
+            ),
+        )
+        .when(
+            F.col("v") == 1,
+            F.concat(
+                F.lit("https://ex"), hostn, F.lit(".example.com/articles/"),
+                did, F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://ex"), hostn, F.lit(".example.com:443/articles/"),
+                did, F.lit("/?b=2&a=1&gclid=g"), did,
+            )
+        )
+    )
+    canon = d.select(url.alias("url")).select(
+        "url", canonicalize_url(F.col("url")).alias("canon_url")
+    )
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "url",
+        "canon_url",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
 def q_doc_fingerprints(spark, sf):
     # md5-mode winnowing (textstats.document_fingerprints_md5): same
     # window-min selection as the production xxhash UDF, but with an
@@ -766,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe_recall": q_ann_ivf_probe_recall,
         "doc_profile": q_doc_profile,
         "quality_quantiles": q_quality_quantiles,
+        "gopher_repetition": q_gopher_repetition,
+        "url_canonicalize": q_url_canonicalize,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,
         "season_normalize": q_season_normalize,
@@ -971,6 +1033,97 @@ WITH media AS (
 SELECT media_id, i::INT AS frame_idx,
   (least((i + 1) * stride, n) - least(i * stride, n))::INT AS frame_bytes
 FROM (SELECT media_id, n, stride, unnest(range(least(4, n))) AS i FROM v)
+"""
+
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, n_chars, toks, len(toks) AS n_tokens FROM base
+), grams AS (
+  SELECT doc_id, 2 AS gn,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                          i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM stats
+  UNION ALL
+  SELECT doc_id, 3,
+    unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> array_to_string(toks[i:i+2], ' ')))
+  FROM stats
+), cnt AS (
+  SELECT doc_id, gn, gram, count(*) AS c FROM grams GROUP BY doc_id, gn, gram
+), top AS (
+  SELECT doc_id,
+    max(CASE WHEN gn = 2 THEN c * length(gram) END) AS m2,
+    max(CASE WHEN gn = 3 THEN c * length(gram) END) AS m3
+  FROM cnt GROUP BY doc_id
+), joined AS (
+  SELECT s.doc_id, s.n_tokens,
+    CASE WHEN s.n_tokens > 0
+         THEN round(1.0 - len(list_distinct(s.toks))::DOUBLE / s.n_tokens, 6)
+         ELSE 0.0 END AS dup_token_frac,
+    round(coalesce(t.m2::DOUBLE / nullif(s.n_chars, 0), 0.0), 6)
+      AS top_2gram_char_frac,
+    round(coalesce(t.m3::DOUBLE / nullif(s.n_chars, 0), 0.0), 6)
+      AS top_3gram_char_frac
+  FROM stats s LEFT JOIN top t USING (doc_id)
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, dup_token_frac,
+  top_2gram_char_frac, top_3gram_char_frac,
+  (dup_token_frac > 0.30 OR top_2gram_char_frac > 0.20
+   OR top_3gram_char_frac > 0.18)::BIGINT AS flagged
+FROM joined
+"""
+
+# mirror of functions/urls.py::canonicalize_url, applied to the same
+# deterministically-synthesized messy-URL corpus (q_url_canonicalize)
+_URL_RE_SQL = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\\?([^#]*))?"
+_URL_CANON_SQL = f"""
+WITH docs AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents
+), v AS (
+  SELECT doc_id, unnest(range(0, 2 + doc_id % 2)) AS v FROM docs
+), u AS (
+  SELECT
+    CASE v
+      WHEN 0 THEN 'HTTPS://Ex' || (doc_id % 50)::VARCHAR
+        || '.Example.COM:443/articles/' || doc_id::VARCHAR
+        || '/?utm_source=feed&b=2&a=1#sec' || doc_id::VARCHAR
+      WHEN 1 THEN 'https://ex' || (doc_id % 50)::VARCHAR
+        || '.example.com/articles/' || doc_id::VARCHAR || '?a=1&b=2'
+      ELSE 'https://ex' || (doc_id % 50)::VARCHAR
+        || '.example.com:443/articles/' || doc_id::VARCHAR
+        || '/?b=2&a=1&gclid=g' || doc_id::VARCHAR
+    END AS url
+  FROM v
+), parts AS (
+  SELECT url, regexp_replace(url, '#.*$', '') AS bare FROM u
+), f AS (
+  SELECT url,
+    lower(regexp_extract(bare, '{_URL_RE_SQL}', 1)) AS scheme,
+    lower(regexp_extract(bare, '{_URL_RE_SQL}', 2)) AS host0,
+    regexp_replace(regexp_extract(bare, '{_URL_RE_SQL}', 3), '/+$', '') AS path,
+    regexp_extract(bare, '{_URL_RE_SQL}', 4) AS query
+  FROM parts
+), g AS (
+  SELECT url, scheme, path,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS host,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p != '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|ref)=')
+    )), '&') AS qstr
+  FROM f
+), c AS (
+  SELECT url,
+    CASE WHEN scheme != '' THEN scheme || '://' || host || path
+      || CASE WHEN qstr != '' THEN '?' || qstr ELSE '' END
+    ELSE url END AS canon_url
+  FROM g
+)
+SELECT url, canon_url,
+  (count(*) OVER (PARTITION BY canon_url))::BIGINT AS group_size
+FROM c
 """
 
 _NORM_SQL = """
@@ -1189,6 +1342,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked CROSS JOIN probs WHERE cd >= p "
             "GROUP BY lang, p"
         ),
+        "gopher_repetition": _GOPHER_SQL,
+        "url_canonicalize": _URL_CANON_SQL,
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
         "normalize_match_key": _NORM_SQL,

@@ -189,6 +189,102 @@ def document_fingerprints_md5(
     )
 
 
+def gopher_repetition(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021,
+    arXiv:2112.11446 Table A1), adapted to a single-line corpus: the
+    paper's duplicate-line / top-n-gram-character-fraction signals
+    re-expressed at the word level (the corpus has no newlines, so
+    "lines" degenerate; tokens are the repetition unit that remains
+    meaningful).  Output, one row per document:
+
+    - ``n_tokens``          whitespace token count
+    - ``dup_token_frac``    1 − distinct/total tokens (paper's
+                            duplicate-line fraction, token-adapted)
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: the character
+      mass of the heaviest repeated word n-gram — max over n-grams of
+      occurrences × length(gram, incl. joining spaces) — divided by
+      the document's total character count.  (The paper's "fraction of
+      characters contained within the most frequently-occurring
+      n-gram", with the max taken over count×length so ties between
+      equally-frequent grams resolve deterministically to the heavier
+      one.)
+    - ``flagged``           1 when any signal crosses the paper's
+      removal thresholds (dup 0.30, top-2-gram 0.20, top-3-gram 0.18)
+
+    Scale shape: per-doc token stats are pure JVM array expressions
+    (no shuffle); the n-gram mass needs global counts per (doc, gram),
+    so ONE explode feeds ONE partial-aggregating hash shuffle keyed
+    (doc_id, n, gram), a second tiny rollup to (doc_id), and a join
+    back to the per-doc stats on doc_id — both sides already hash by
+    doc_id, and docs with <2 tokens (absent from the gram side) keep a
+    row via the left join.  No driver collection, no UDF."""
+    text = F.col(text_col)
+    toks = tokens_expr(text)
+    base = documents.select(
+        "doc_id",
+        F.length(text).alias("n_chars"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+    )
+
+    def gram_structs(n: int) -> Column:
+        tcol = F.col("toks")
+        idx = F.transform(tcol, lambda _, i: i)
+        valid = F.filter(idx, lambda i: i + n <= F.size(tcol))
+        return F.transform(
+            valid,
+            lambda i: F.struct(
+                F.lit(n).alias("gn"),
+                F.concat_ws(" ", F.slice(tcol, i + 1, n)).alias("gram"),
+            ),
+        )
+
+    grams = base.select(
+        "doc_id",
+        F.explode(F.concat(gram_structs(2), gram_structs(3))).alias("g"),
+    )
+    counts = grams.groupBy(
+        "doc_id", F.col("g.gn").alias("gn"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("gn") == 2, F.col("c") * F.length("gram"))).alias("m2"),
+        F.max(F.when(F.col("gn") == 3, F.col("c") * F.length("gram"))).alias("m3"),
+    )
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    frac2 = F.coalesce(
+        F.col("m2").cast("double") / F.nullif(F.col("n_chars"), F.lit(0)), F.lit(0.0)
+    )
+    frac3 = F.coalesce(
+        F.col("m3").cast("double") / F.nullif(F.col("n_chars"), F.lit(0)), F.lit(0.0)
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(dup_frac, 6).alias("dup_token_frac"),
+            F.round(frac2, 6).alias("top_2gram_char_frac"),
+            F.round(frac3, 6).alias("top_3gram_char_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (
+                (F.col("dup_token_frac") > 0.30)
+                | (F.col("top_2gram_char_frac") > 0.20)
+                | (F.col("top_3gram_char_frac") > 0.18)
+            ).cast("long"),
+        )
+    )
+
+
 def quality_quantiles(
     documents: DataFrame,
     probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),

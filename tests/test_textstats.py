@@ -84,3 +84,59 @@ def test_quality_quantiles_exact_and_sketch(spark):
     for lang in {r.lang for r in exact}:
         qs = [q for (lg, p), q in sorted(ex.items()) if lg == lang]
         assert qs == sorted(qs)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_hand_computed(spark):
+    # doc 0: "a b a b a b" — 6 tokens, 2 distinct → dup 4/6;
+    #   2-grams: "a b"x3, "b a"x2 → top mass 3*3=9; 3-grams: "a b a"x2,
+    #   "b a b"x2 → mass 2*5=10; n_chars=11
+    # doc 1: all-distinct tokens → dup 0, every gram count 1
+    # doc 2: empty text → all zeros, no gram rows, still present
+    # doc 3: single token → no grams at all
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),
+            (1, "one two three four"),
+            (2, ""),
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in TS.gopher_repetition(df).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+
+    r0 = rows[0]
+    assert r0.n_tokens == 6
+    assert abs(r0.dup_token_frac - round(1 - 2 / 6, 6)) < 1e-9
+    assert abs(r0.top_2gram_char_frac - round(9 / 11, 6)) < 1e-9
+    assert abs(r0.top_3gram_char_frac - round(10 / 11, 6)) < 1e-9
+    assert r0.flagged == 1
+
+    r1 = rows[1]
+    assert r1.dup_token_frac == 0.0
+    # heaviest 2-gram = "three four" (10 chars, count 1), text 18 chars
+    assert abs(r1.top_2gram_char_frac - round(10 / 18, 6)) < 1e-9
+    assert r1.flagged == 1  # short text: one gram dominates chars
+
+    assert rows[2].n_tokens == 0
+    assert rows[2].dup_token_frac == 0.0
+    assert rows[2].top_2gram_char_frac == 0.0
+    assert rows[2].flagged == 0
+
+    assert rows[3].n_tokens == 1
+    assert rows[3].top_2gram_char_frac == 0.0
+    assert rows[3].top_3gram_char_frac == 0.0
+
+
+def test_gopher_repetition_clean_long_doc_not_flagged(spark):
+    text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    r = TS.gopher_repetition(df).collect()[0]
+    assert r.dup_token_frac == 0.0
+    assert r.top_2gram_char_frac < 0.20
+    assert r.flagged == 0
