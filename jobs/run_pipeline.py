@@ -1,5 +1,6 @@
 """spark-submit entry point for the full ER pipeline.
 
+    python scripts/package_pyfiles.py          # builds engine.zip
     spark-submit --py-files engine.zip jobs/run_pipeline.py \
         --input /data/web_pages_parquet --catalog-root /data/er_catalog \
         --run-id run42 [--resume]

@@ -33,6 +33,15 @@ LEVELS = (8, 32)
 # the other confounds the level with the regime — interleave the levels
 # ROUNDS times and keep each level's best run instead.
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+# measured runs per child after warmup (per-child best is kept); at
+# multi-million-page sizes one run per child × interleaved ROUNDS
+# samples the regimes just as well and halves the wall
+RUNS_PER_CHILD = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+# per-child subprocess timeout: local[8] at ~3.5M pages in a degraded
+# host window exceeds the old fixed 3000s (measured 2026-08-17)
+CHILD_TIMEOUT = int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "3000"))
+# reuse a pre-generated corpus dir (skips generation; dir is kept)
+CORPUS_REUSE = os.environ.get("SPARK_GRAFT_SCALE_CORPUS", "")
 
 _GEN = r"""
 import sys
@@ -91,7 +100,7 @@ def run(subdir):
 # fresh code path was measured at up to 3x
 run("warmup")
 best = None
-for _ in range(2):
+for _ in range(int(sys.argv[3]) if len(sys.argv) > 3 else 2):
     r = run("full")
     if best is None or r[3] < best[3]:
         best = r
@@ -111,40 +120,60 @@ spark.stop()
 
 
 def main() -> None:
-    corpus_dir = tempfile.mkdtemp(prefix="er_scale_corpus_")
-    gen = subprocess.run(
-        [sys.executable, "-c", _GEN, corpus_dir, str(N_ROWS)],
-        capture_output=True,
-        text=True,
-        timeout=3000,
-    )
-    if gen.returncode != 0:
-        sys.stderr.write(gen.stderr[-4000:])
-        raise SystemExit("corpus generation failed")
+    if CORPUS_REUSE:
+        corpus_dir = CORPUS_REUSE
+    else:
+        corpus_dir = tempfile.mkdtemp(prefix="er_scale_corpus_")
+        gen = subprocess.run(
+            [sys.executable, "-c", _GEN, corpus_dir, str(N_ROWS)],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stderr[-4000:])
+            raise SystemExit("corpus generation failed")
     results = {}
     all_runs: list[dict] = []
+    # a child JVM dying (this host's hypervisor kills one occasionally —
+    # measured 2026-08-17: a mid-run py4j connection-reset 16 min into a
+    # round-2 child) must not discard the samples already taken: log the
+    # failure, keep interleaving, and require only ≥1 sample per level.
+    # Each sample is also printed to stderr the moment it lands.
     for _round in range(ROUNDS):
         for cpus in LEVELS:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-            out = subprocess.run(
-                [sys.executable, "-c", _CHILD, str(cpus), corpus_dir],
-                capture_output=True,
-                text=True,
-                env=env,
-                timeout=3000,
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", _CHILD, str(cpus), corpus_dir,
+                     str(RUNS_PER_CHILD)],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                    timeout=CHILD_TIMEOUT,
+                )
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"SAMPLE_LOST local[{cpus}] round {_round}: timeout\n")
+                continue
             line = [
                 l for l in out.stdout.splitlines() if l.startswith("CHILD_RESULT ")
             ]
             if not line:
                 sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-                raise SystemExit(f"child at local[{cpus}] produced no result")
+                sys.stderr.write(f"\nSAMPLE_LOST local[{cpus}] round {_round}: crashed\n")
+                continue
             res = json.loads(line[-1][len("CHILD_RESULT "):])
+            sys.stderr.write("SAMPLE " + json.dumps(res) + "\n")
+            sys.stderr.flush()
             all_runs.append(res)
             if cpus not in results or res["wall_sec"] < results[cpus]["wall_sec"]:
                 results[cpus] = res
+    missing = [c for c in LEVELS if c not in results]
+    if missing:
+        raise SystemExit(f"no surviving sample at levels {missing}")
 
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+    if not CORPUS_REUSE:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     lo, hi = LEVELS
     speedup = results[lo]["wall_sec"] / results[hi]["wall_sec"]
     ideal = hi / lo

@@ -26,6 +26,9 @@ NAMES = [
     "ann_ivf_probe",
     "session_windows",
     "session_stats",
+    "gopher_repetition",
+    "url_canonicalize",
+    "stratified_sample",
 ]
 
 
