@@ -576,6 +576,25 @@ def q_url_canonicalize(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    # Training-mix curation: deterministic per-stratum hash sampling
+    # (md5-derived uniform; partition-invariant, nested across fraction
+    # ramps, shuffle-free narrow filter).  The oracle reproduces the
+    # md5 uniform bit-for-bit, so the sampled SET is value-checked.
+    from entity_resolution_engine_spark.operators.sampling import (
+        hash_uniform,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = stratified_sample(
+        docs, {"en": 0.5, "fr": 0.3, "es": 0.1}, default_fraction=0.05
+    )
+    return out.select(
+        "doc_id", "lang", F.round(hash_uniform(F.col("doc_id")), 6).alias("u")
+    )
+
+
 def q_doc_fingerprints(spark, sf):
     # md5-mode winnowing (textstats.document_fingerprints_md5): same
     # window-min selection as the production xxhash UDF, but with an
@@ -828,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "url_canonicalize": q_url_canonicalize,
+        "stratified_sample": q_stratified_sample,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,
         "season_normalize": q_season_normalize,
@@ -1126,6 +1146,21 @@ SELECT url, canon_url,
 FROM c
 """
 
+# mirror of operators/sampling.py::hash_uniform + stratified_sample at
+# the q_stratified_sample fractions — the md5-derived uniform is exact
+# in both engines, so membership (not just size) is value-checked
+_STRATIFIED_SAMPLE_SQL = """
+WITH u AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('er-sample|' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+      / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang, round(u, 6) AS u FROM u
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3
+                    WHEN 'es' THEN 0.1 ELSE 0.05 END
+"""
+
 _NORM_SQL = """
 SELECT doc_id,
   trim(regexp_replace(
@@ -1344,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_repetition": _GOPHER_SQL,
         "url_canonicalize": _URL_CANON_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
         "normalize_match_key": _NORM_SQL,
