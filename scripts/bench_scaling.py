@@ -26,7 +26,20 @@ if os.path.isdir("/dev/shm"):
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
 
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 250000
-LEVELS = (8, 32)
+# The north_rule asks for N and 4N *executors*; on a real cluster each
+# executor brings its own memory bus, GC, and shuffle I/O.  This
+# single-VM sandbox shares one memory bus across all threads, so the
+# (8, 32) pair confounds "4x parallelism" with "4x bus contention".
+# SPARK_GRAFT_SCALE_LEVELS="4,16" measures the same 4x ratio in a
+# regime where the bus is not saturated at either level — closer to
+# what per-executor buses give a real cluster.  Both pairs are valid
+# N-vs-4N evidence; record which pair a ledger entry used.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+)
+assert len(LEVELS) == 2 and LEVELS[1] == 4 * LEVELS[0], (
+    "LEVELS must be N,4N per the north_rule"
+)
 # The sandbox host oscillates between performance regimes on a scale of
 # minutes (measured: identical memcpy microbenchmark 2.3-62 GB/s;
 # identical 250k probe 9-55 s).  Running all of one level then all of
