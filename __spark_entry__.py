@@ -595,6 +595,64 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_ngram_decontaminate(spark, sf):
+    # Benchmark decontamination (PaLM/GPT-3-style n-gram overlap):
+    # benchmark = docs with doc_id % 10 == 0, corpus = the rest; n=4
+    # gives a non-trivial contamination distribution on the planted
+    # near-dup corpus (75/450 contaminated, 8 distinct hit levels at
+    # sf0.01).  gram_hash="none" here so DuckDB reproduces the join
+    # key byte-for-byte; the xxhash64 byte-diet mode is pytest-pinned
+    # equal (tests/test_decontam.py).
+    from entity_resolution_engine_spark.operators.decontam import (
+        ngram_decontaminate,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_decontaminate(corpus, bench, n=4, gram_hash="none")
+
+
+def q_exact_dedup_against(spark, sf):
+    # Cross-corpus exact dedup (incremental-crawl shape): drop corpus
+    # docs whose normalized text already appears in a reference set.
+    # The reference side is UPPER-cased so a row survives the anti-join
+    # only if md5(lower(trim(.))) normalization really is the key —
+    # the identity-text version would pass with raw-text equality too.
+    from entity_resolution_engine_spark.operators.decontam import (
+        exact_dedup_against,
+    )
+
+    docs = _t(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.upper(F.col("text")).alias("text")
+    )
+    return exact_dedup_against(docs, ref)
+
+
+def q_corpus_term_stats(spark, sf):
+    # Corpus vocabulary audit: top-100 tokens by document frequency.
+    # Two-level agg keeps the corpus-sized shuffle at (token, count)
+    # grain; deterministic total order (df desc, cf desc, token) makes
+    # the LIMIT stable for the oracle.
+    from entity_resolution_engine_spark.operators.terms import (
+        corpus_term_stats,
+    )
+
+    return corpus_term_stats(_t(spark, sf, "documents"), top_k=100)
+
+
+def q_tfidf_top_terms(spark, sf):
+    # Per-doc top-3 smoothed TF-IDF terms (topic tags / quality
+    # heuristics).  Ranking is over the 6-places-rounded score with a
+    # token tie-break, so the window order is identical cross-engine.
+    from entity_resolution_engine_spark.operators.terms import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
 def q_doc_fingerprints(spark, sf):
     # md5-mode winnowing (textstats.document_fingerprints_md5): same
     # window-min selection as the production xxhash UDF, but with an
@@ -848,6 +906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "url_canonicalize": q_url_canonicalize,
         "stratified_sample": q_stratified_sample,
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "exact_dedup_against": q_exact_dedup_against,
+        "corpus_term_stats": q_corpus_term_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "doc_fingerprints": q_doc_fingerprints,
         "normalize_match_key": q_normalize_match_key,
         "season_normalize": q_season_normalize,
@@ -1161,6 +1223,86 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3
                     WHEN 'es' THEN 0.1 ELSE 0.05 END
 """
 
+# 4-gram decontamination: benchmark = doc_id % 10 == 0, corpus = the
+# rest.  Gram construction mirrors _NGRAM_JACCARD_SQL (slice clamps at
+# the list end; <n-token docs contribute their full-token gram).
+_DECONTAM_SQL = f"""
+WITH toksrc AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(toks) - 3, 1) + 1),
+      i -> array_to_string(toks[i:i+3], ' '))) AS grams
+  FROM toksrc WHERE len(toks) > 0
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT * FROM g WHERE doc_id % 10 <> 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+  JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+  len(c.grams) AS n_grams,
+  coalesce(h.n_contaminated, 0) AS n_contaminated,
+  round(coalesce(h.n_contaminated, 0)::DOUBLE / len(c.grams), 6)
+    AS contamination,
+  round(coalesce(h.n_contaminated, 0)::DOUBLE / len(c.grams), 6) > 0.0
+    AS is_contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+"""
+
+# cross-corpus exact dedup: reference side is UPPER-cased in the query,
+# so the anti-join hinges on the md5(lower(trim(.))) normalization
+_EXACT_DEDUP_AGAINST_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE md5(lower(trim(text))) NOT IN (
+  SELECT md5(lower(trim(upper(text)))) FROM documents WHERE doc_id % 2 = 0
+)
+"""
+
+_TERM_STATS_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, unnest(toks) AS token
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM per_doc GROUP BY doc_id, token
+)
+SELECT token, count(*) AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY token
+ORDER BY df DESC, cf DESC, token
+LIMIT 100
+"""
+
+# smoothed TF-IDF (idf = ln((N+1)/(df+1)) + 1); ranking over the
+# 6-places-rounded score with a token tie-break, same as the Spark side
+_TFIDF_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, unnest(toks) AS token
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM per_doc GROUP BY doc_id, token
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+), idf AS (
+  SELECT token, ln((n_docs + 1)::DOUBLE / (count(*) + 1)) + 1.0 AS idf
+  FROM tf CROSS JOIN n GROUP BY token, n_docs
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+    round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+), ranked AS (
+  SELECT doc_id, token, tf, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+      AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, rank, tfidf FROM ranked WHERE rank <= 3
+"""
+
 _NORM_SQL = """
 SELECT doc_id,
   trim(regexp_replace(
@@ -1380,6 +1522,10 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _GOPHER_SQL,
         "url_canonicalize": _URL_CANON_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "ngram_decontaminate": _DECONTAM_SQL,
+        "exact_dedup_against": _EXACT_DEDUP_AGAINST_SQL,
+        "corpus_term_stats": _TERM_STATS_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "media_frames": _MEDIA_FRAMES_SQL,
         "normalize_match_key": _NORM_SQL,

@@ -80,6 +80,7 @@ def main() -> None:
         "ngram_jaccard_fast",
         "ann_bruteforce",
         "ann_ivf_probe",
+        "ngram_decontaminate",
         "er_resolve_documents",
     ]
     spreads: dict[str, float] = {}

@@ -1,0 +1,104 @@
+"""Corpus vocabulary statistics and TF-IDF keyword extraction.
+
+Training-mix curation needs corpus-level term statistics (vocabulary
+audits, boilerplate detection, tokenizer-training feeds) and per-doc
+salient terms (topic tagging, quality heuristics).  Two operators:
+
+- **corpus_term_stats** — per-token document frequency + collection
+  frequency, top-k by df.  One explode, then two-level aggregation:
+  groupBy(doc, token) partial-combines map-side (per-doc counts) so
+  the only corpus-sized shuffle ships (token, count) pairs — at
+  100 TB the shuffle is bounded by docs × distinct-tokens-per-doc,
+  never by raw token volume.  Top-k is a TakeOrderedAndProject
+  (no global sort materialization).
+- **tfidf_top_terms** — per-document top-k terms by smoothed TF-IDF
+  (idf = ln((N+1)/(df+1)) + 1, the scikit-style smooth form).  The
+  idf map is |vocabulary|-sized → broadcast back onto the per-doc
+  term counts; ranking is a per-doc window (row_number, score desc
+  then token asc for determinism).
+
+Reference parity: no term-stats surface in the reference (sports ER);
+graft-extension family alongside textstats.py (which holds the
+per-doc profile; this module holds corpus-level aggregates).
+Tokenization shared with the gram/dedup suite via
+functions/hashing.py::tokens_col.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+
+def _doc_term_counts(
+    documents: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, token, tf) — per-document term frequencies."""
+    toks = H.tokens_col(F.lower(F.col(text_col)))
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def corpus_term_stats(
+    documents: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k tokens by document frequency.
+
+    Returns (token, df, cf): df = #docs containing the token,
+    cf = total occurrences.  Deterministic order/tie-break:
+    df desc, cf desc, token asc — the same total order the oracle
+    states, so LIMIT is stable.
+    """
+    per_doc = _doc_term_counts(documents, id_col, text_col)
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    return stats.orderBy(
+        F.col("df").desc(), F.col("cf").desc(), F.col("token")
+    ).limit(top_k)
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    Returns (doc_id, token, tf, rank, tfidf) with rank 1..k per doc;
+    tfidf rounded to 6 places (cross-engine float pin, same convention
+    as the jaccard oracles).  N = #docs with ≥1 token.
+    """
+    per_doc = _doc_term_counts(documents, id_col, text_col)
+    n_docs = per_doc.select(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))  # 1-row broadcast, not a real cross
+        .select(
+            "token",
+            (
+                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0
+            ).alias("idf"),
+        )
+    )
+    scored = per_doc.join(F.broadcast(idf), "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "rank", "tfidf")
+    )
