@@ -10,8 +10,9 @@ Two operators every LLM data pipeline runs before training:
   gram join is a broadcast: the 100 TB corpus is read once, its gram
   explode is narrow, matched grams partial-aggregate before the only
   shuffle (per-doc hit counts — bytes proportional to CONTAMINATED
-  docs, not the corpus), and the hit table joins back by broadcast.
-  No corpus-sized shuffle anywhere.
+  docs, not the corpus), and the hit table joins back unhinted (AQE
+  broadcasts it when small; a saturated-contamination corpus falls
+  back to an ids+counts shuffle).  No text-sized shuffle anywhere.
 - **exact_dedup_against** — drop corpus docs whose normalized text
   already appears in a reference corpus (previous crawl / held-out
   split): md5-keyed left_anti join, the incremental twin of
@@ -127,9 +128,15 @@ def ngram_decontaminate(
         .agg(F.count("*").alias("n_contaminated"))
     )
 
+    # join-back deliberately UNhinted: hits is one row per CONTAMINATED
+    # doc — usually tiny (AQE broadcasts it), but unbounded if a crawl
+    # is saturated with eval text, so forcing broadcast would be the
+    # one way this operator could die at 100 TB.  Both sides are
+    # already narrow (16-24 bytes/row), so the fallback shuffle ships
+    # ids+counts, never text.
     out = (
         docs.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
     )
     contamination = F.round(
