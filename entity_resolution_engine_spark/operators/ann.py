@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.readers import fan_out
 from .dedup import cosine_sim_col
 
 
@@ -40,6 +41,10 @@ def brute_force_topk(
         F.col(query_id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
+    # the per-(row, query) cosine runs on the corpus scan's partitions —
+    # a single-row-group file would put all |corpus|·|queries| evals on
+    # one core (round 6; see readers.fan_out)
+    corpus = fan_out(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
@@ -148,6 +153,7 @@ def ivf_topk(
     assign_1 = make_cell_udf(centroids, nprobe=1)
     assign_n = make_cell_udf(centroids, nprobe=nprobe)
 
+    corpus = fan_out(corpus)  # round 6: see readers.fan_out
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),

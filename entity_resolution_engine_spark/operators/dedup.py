@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 from pyspark.sql import Window
 
 from ..functions import hashing as H
+from ..sources.readers import fan_out
 
 # ---------------------------------------------------------------------------
 # exact
@@ -191,6 +192,9 @@ def _minhash_signatures(
 ) -> DataFrame:
     """(id, sig) MinHash signatures, persisted (the band explode and
     any signature re-join both reference this frame)."""
+    # single-row-group inputs otherwise run the signature UDF on one
+    # core (round 6; see readers.fan_out)
+    documents = fan_out(documents)
     tokens = H.tokens_col(F.lower(F.col(text_col)))
     th = H.token_hashes_col(tokens)
     sig = (
@@ -323,6 +327,7 @@ def minhash_verified_near_duplicates(
     recall rather than hiding it.  At scale the verify join ships one
     distinct-gram array per doc side — bounded by doc length, and only
     for candidate pairs (linear-ish), never all pairs."""
+    documents = fan_out(documents)  # round 6: see readers.fan_out
     sig = _minhash_signatures(
         documents, shingle_size, num_hashes, id_col, text_col, caches
     )
@@ -389,6 +394,7 @@ def simhash_signatures(
     production path shares."""
     if hash_mode not in ("xxhash64", "md5_60"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    documents = fan_out(documents)  # round 6: see readers.fan_out
     tokens = H.tokens_col(F.lower(F.col(text_col)))
     sigs = documents.select(F.col(id_col).alias("id"), tokens.alias("tk"))
     # empty docs all share the zero signature and would pair off at
@@ -505,6 +511,7 @@ def ngram_jaccard_pairs(
     content-selective — unlike length bucketing, unrelated documents
     almost never collide, so the block self-join stays near-linear.
     Similarity is array_intersect/array_union — fully JVM codegen."""
+    documents = fan_out(documents)  # round 6: see readers.fan_out
     tokens = H.tokens_col(F.lower(F.col(text_col)))
     # empty/whitespace-only docs would all share the '' gram and pair
     # off at jaccard 1.0 — drop them before banding (mirrored in the
@@ -588,6 +595,7 @@ def ngram_jaccard_pairs_fast(
     query) pin sf-scale equality on the test corpus, whose near-dup
     pairs sit far above the knee; the md5 path remains the
     DuckDB-oracle query."""
+    documents = fan_out(documents)  # round 6: see readers.fan_out
     tokens = H.tokens_col(F.lower(F.col(text_col)))
     docs = documents.select(
         F.col(id_col).alias("id"), H.token_hashes_col(tokens).alias("th")
@@ -724,6 +732,7 @@ def embedding_near_duplicates(
     if planes_per_band is None or n_bands is None:
         planes_per_band, n_bands = srp_band_params(min_cosine, target_recall)
     srp = make_srp_bands_udf(dim, planes_per_band, n_bands)
+    embeddings = fan_out(embeddings)  # round 6: see readers.fan_out
     vecs = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

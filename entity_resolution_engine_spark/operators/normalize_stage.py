@@ -16,10 +16,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import canonical_text_udf, domain_col, normalize_text_udf
+from ..sources.readers import fan_out
 
 
 def normalize_pages(web_pages: DataFrame) -> DataFrame:
     """Returns a DataFrame in schemas.NORMALIZED_PAGES shape."""
+    # fan_out: single-row-group inputs otherwise pin the two normalize
+    # pandas UDFs — and, through the cache + downstream broadcast
+    # joins, the whole block/score chain — to one core (round 6)
+    web_pages = fan_out(web_pages)
     return (
         web_pages.withColumn(
             "canonical_text", canonical_text_udf(F.col("html"), F.col("text"))

@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # NOTE (round 6): don't be tempted to raise scan parallelism for
+    # small single-file inputs via spark.sql.files.openCostInBytes —
+    # a parquet ROW GROUP is assigned to the byte-range split holding
+    # its midpoint, so a one-row-group file still lands entirely in one
+    # task and the extra splits are empty (they only defeat the
+    # partition-count check in sources.readers.fan_out, which is the
+    # actual fix for CPU-heavy stages over such inputs).
     # Shuffle/spill dirs on tmpfs, OPT-IN via SPARK_GRAFT_LOCAL_DIR:
     # this sandbox's /tmp sits on a throttled virtio disk, which
     # serializes every shuffle write regardless of core count

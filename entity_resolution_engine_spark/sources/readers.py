@@ -30,6 +30,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition UP TO the session's default parallelism
+    when the input has fewer partitions; never shrinks (round 6).
+
+    Why this exists: a parquet file is split by byte ranges, but a row
+    group is assigned to the split containing its midpoint — a file
+    written as ONE row group (the testdata layout, and any small
+    upstream extract) yields ONE non-empty scan partition no matter the
+    split size, so every CPU-heavy stage downstream (normalize/feature
+    pandas UDFs, per-gram banding, cosine HOFs) inherits single-core
+    parallelism through caches and broadcast joins (measured: the
+    34s-on-one-worker feature-UDF stage at sf1.0).  The repartition
+    costs one exchange of the raw rows — noise next to the Python/JVM
+    compute it unlocks — and is a no-op whenever the scan is already at
+    least as wide as the session (any real multi-file table at scale),
+    so it cannot shrink cluster-scale parallelism."""
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= t:
+        return df
+    return df.repartition(t)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 
