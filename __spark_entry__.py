@@ -419,7 +419,9 @@ def q_ann_bruteforce(spark, sf):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ANN.brute_force_topk(emb, queries, k=5)
+    # dim=64 unrolls the cosine into codegen'd expressions (round 6) —
+    # bit-identical values (same fold order), same oracle hash
+    out = ANN.brute_force_topk(emb, queries, k=5, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
@@ -482,7 +484,7 @@ def q_ann_ivf_probe_recall(spark, sf):
     probe = ANN.ivf_topk(emb, queries, dim=64, k=5, nlist=16, nprobe=4).select(
         "query_id", "neighbor_id"
     )
-    brute = ANN.brute_force_topk(emb, queries, k=5).select(
+    brute = ANN.brute_force_topk(emb, queries, k=5, dim=64).select(
         "query_id", "neighbor_id"
     )
     hits = (

@@ -218,11 +218,7 @@ def minhash_band_keys(
     (measured 4-5x slowdown on the blocking stage)."""
     sig, lengths = _minhash_matrix(hash_arrays, num_hashes, shingle_size)
     n, rows = len(lengths), num_hashes // bands
-    m = sig.reshape(n, bands, rows)
-    h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
-    for r in range(rows):
-        h = (h ^ m[:, :, r]) * _FNV_PRIME
-    h ^= np.arange(bands, dtype=np.uint64) * _BAND_MIX
+    h = _band_fold(sig, lengths, bands, rows)
     h_i64 = h.view(np.int64)
     return [
         h_i64[i].tolist() if lengths[i] > 0 else None for i in range(n)
@@ -285,23 +281,11 @@ def make_gram_bands_udf(n: int, num_bands: int):
     def gram_bands_udf(hashes: pd.Series) -> pd.DataFrame:
         flat, _off, lengths = _flatten_ragged(hashes)
         gflat, glens = shingle_flat(flat, lengths, n)
+        # distinct gram hashes per row: one lexsort over the flat batch
+        # (_dedup_ragged), vectorized across rows
+        dh, dlens, offs = _dedup_ragged(gflat, glens)
         nrows = len(glens)
         nonempty = glens > 0
-        if gflat.size:
-            # distinct gram hashes per row: lexsort by (row, hash) then
-            # keep first of each run — vectorized across the batch
-            rid = np.repeat(np.arange(nrows, dtype=np.int64), glens)
-            order = np.lexsort((gflat, rid))
-            sr, sh = rid[order], gflat[order]
-            keep = np.ones(sh.size, dtype=bool)
-            keep[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
-            dr, dh = sr[keep], sh[keep]
-            dlens = np.bincount(dr, minlength=nrows).astype(np.int64)
-        else:
-            dh = np.empty(0, dtype=np.uint64)
-            dlens = np.zeros(nrows, dtype=np.int64)
-        offs = np.zeros(nrows + 1, dtype=np.int64)
-        np.cumsum(dlens, out=offs[1:])
         bands_mat = np.zeros((nrows, num_bands), dtype=np.uint64)
         _chunked_min_fold(
             dh, offs, np.nonzero(nonempty)[0], a, b, bands_mat
@@ -321,6 +305,154 @@ def make_gram_bands_udf(n: int, num_bands: int):
         return pd.DataFrame({"grams": grams_out, "bands": bands_out})
 
     return gram_bands_udf
+
+
+def _band_fold(sig: np.ndarray, lengths: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n, bands·rows) signature matrix → (n, bands) FNV-1a band keys
+    with the band index mixed in — the shared fold behind
+    ``minhash_band_keys`` and ``make_minhash_band_gram_udf``."""
+    n = len(lengths)
+    m = sig.reshape(n, bands, rows)
+    h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+    for r in range(rows):
+        h = (h ^ m[:, :, r]) * _FNV_PRIME
+    h ^= np.arange(bands, dtype=np.uint64) * _BAND_MIX
+    return h
+
+
+def _dedup_ragged(gflat: np.ndarray, glens: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged gram-hash stream → per-row DISTINCT hashes: one lexsort by
+    (row, hash) over the flat batch, keep first of each run (the
+    make_gram_bands_udf kernel, factored for reuse).  Returns
+    (distinct_flat, distinct_lengths, offsets)."""
+    nrows = len(glens)
+    if gflat.size:
+        rid = np.repeat(np.arange(nrows, dtype=np.int64), glens)
+        order = np.lexsort((gflat, rid))
+        sr, sh = rid[order], gflat[order]
+        keep = np.ones(sh.size, dtype=bool)
+        keep[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+        dh = sh[keep]
+        dlens = np.bincount(sr[keep], minlength=nrows).astype(np.int64)
+    else:
+        dh = np.empty(0, dtype=np.uint64)
+        dlens = np.zeros(nrows, dtype=np.int64)
+    offs = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(dlens, out=offs[1:])
+    return dh, dlens, offs
+
+
+def make_minhash_band_gram_udf(num_hashes: int, bands: int, shingle_size: int):
+    """array<bigint> token hashes → struct(bands: array<bigint>,
+    grams: array<bigint>): ONE fused kernel producing both the LSH band
+    keys (shingle fold → distinct → MinHash minima → FNV band fold) and
+    the row's DISTINCT shingle-hash set for an exact verify join
+    (round 6).
+
+    The verify path previously re-tokenized the corpus and built
+    STRING word-shingles through interpreted slice/concat_ws HOF
+    expressions — the exact per-shingle string cost ``shingle_flat``
+    was written to kill — and the band path ran a second Python pass
+    plus a 48-way interpreted slice/concat over the signature column.
+    Shingling once and deriving both outputs makes the whole
+    candidates+verify pipeline one Arrow pass.  MinHash minima over the
+    DISTINCT stream equal minima over the raw stream (min ignores
+    multiplicity), so band keys are identical to
+    ``make_minhash_band_udf``'s."""
+    a, b = _minhash_params(num_hashes)
+    rows = num_hashes // bands
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("bands", T.ArrayType(T.LongType())),
+                T.StructField("grams", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def band_gram_udf(hashes: pd.Series) -> pd.DataFrame:
+        flat, _off, lengths = _flatten_ragged(hashes)
+        gflat, glens = shingle_flat(flat, lengths, shingle_size)
+        dh, dlens, offs = _dedup_ragged(gflat, glens)
+        nrows = len(glens)
+        nonempty = dlens > 0
+        sig = np.full((nrows, num_hashes), _EMPTY_SENTINEL, dtype=np.uint64)
+        _chunked_min_fold(dh, offs, np.nonzero(nonempty)[0], a, b, sig)
+        bk = _band_fold(sig, dlens, bands, rows)
+        dh_i64 = dh.view(np.int64)
+        bk_i64 = bk.view(np.int64)
+        bands_out: list[list[int] | None] = []
+        grams_out: list[list[int] | None] = []
+        for i in range(nrows):
+            if nonempty[i]:
+                bands_out.append(bk_i64[i].tolist())
+                grams_out.append(dh_i64[offs[i] : offs[i + 1]].tolist())
+            else:
+                bands_out.append(None)
+                grams_out.append(None)
+        return pd.DataFrame({"bands": bands_out, "grams": grams_out})
+
+    return band_gram_udf
+
+
+def make_md5_gram_bands_udf(n: int, num_bands: int):
+    """array<string> tokens → struct(grams: array<bigint>,
+    bands: array<string>): the md5 SQL-parity banding of
+    ``ngram_jaccard_pairs``, computed in one Arrow batch pass
+    (round 6).
+
+    Byte-identical band buckets to the HOF formulation it replaces:
+    band b = ``f"{b}|" + min over grams of md5(f"s{b}|{gram}")`` —
+    min is taken over raw 16-byte digests, which orders exactly like
+    the lowercase-hex strings (hex encoding is byte-order-preserving),
+    then hex-encoded once.  The interpreted per-gram HOF md5 chain
+    (num_bands salts × every gram, built via slice/concat_ws) measured
+    ~11.5s at sf1.0; hashlib over the same bytes is sub-second.
+    ``grams`` carries the first 8 md5 bytes of each DISTINCT gram as a
+    big-endian int64 — the verify join's stand-in for the gram string
+    (same absent-64-bit-collisions equivalence the fast path documents)."""
+    import hashlib
+
+    salts = [f"s{b}|".encode() for b in range(num_bands)]
+    prefixes = [f"{b}|" for b in range(num_bands)]
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("grams", T.ArrayType(T.LongType())),
+                T.StructField("bands", T.ArrayType(T.StringType())),
+            ]
+        )
+    )
+    def md5_gram_bands_udf(tokens: pd.Series) -> pd.DataFrame:
+        md5 = hashlib.md5
+        grams_out: list[list[int] | None] = []
+        bands_out: list[list[str] | None] = []
+        for toks in tokens:
+            if toks is None or len(toks) == 0:
+                grams_out.append(None)
+                bands_out.append(None)
+                continue
+            if len(toks) >= n:
+                grams = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+            else:
+                grams = {" ".join(toks)}
+            genc = [g.encode("utf-8") for g in grams]
+            digs = [md5(ge).digest() for ge in genc]
+            grams_out.append(
+                [int.from_bytes(d[:8], "big", signed=True) for d in digs]
+            )
+            bands_out.append(
+                [
+                    prefixes[bi] + min(md5(s + ge).digest() for ge in genc).hex()
+                    for bi, s in enumerate(salts)
+                ]
+            )
+        return pd.DataFrame({"grams": grams_out, "bands": bands_out})
+
+    return md5_gram_bands_udf
 
 
 def simhash64(hash_arrays: pd.Series) -> np.ndarray:

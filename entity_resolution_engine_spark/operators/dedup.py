@@ -326,50 +326,46 @@ def minhash_verified_near_duplicates(
     (__spark_entry__.py ``minhash_near_dup``); any gap *measures* LSH
     recall rather than hiding it.  At scale the verify join ships one
     distinct-gram array per doc side — bounded by doc length, and only
-    for candidate pairs (linear-ish), never all pairs."""
+    for candidate pairs (linear-ish), never all pairs.
+
+    Round-6 shape (same output): ONE fused Arrow kernel
+    (``make_minhash_band_gram_udf``) shingles each doc once and emits
+    both the 48 LSH band keys and the DISTINCT shingle-hash set, so
+    the corpus is tokenized/shingled once instead of twice (the verify
+    side previously rebuilt STRING shingles through interpreted
+    slice/concat HOFs) and no 192-long signature column ever
+    materializes.  Band keys are the FNV fold the blocking stage uses
+    (``make_minhash_band_udf`` semantics — minima over the distinct
+    stream equal minima over the raw stream); band-hash family changes
+    only move LSH recall within the same 1-(1-J^rows)^bands bound the
+    docstring above pins (≈1e-11 miss at τ=0.8), exactly like the
+    fast-ngram path's documented equivalence.  The verify join ships
+    int64 shingle hashes and applies the _verified_jaccard_pairs
+    economies (size-ratio prefilter, union-by-sizes); hashed-shingle
+    jaccard equals string-shingle jaccard absent 64-bit fold
+    collisions."""
     documents = fan_out(documents)  # round 6: see readers.fan_out
-    sig = _minhash_signatures(
-        documents, shingle_size, num_hashes, id_col, text_col, caches
-    )
-    rows = num_hashes // bands
-    bands_df = sig.select(
+    tokens = H.tokens_col(F.lower(F.col(text_col)))
+    bg_udf = H.make_minhash_band_gram_udf(num_hashes, bands, shingle_size)
+    docs = documents.select(
+        F.col(id_col).alias("id"), H.token_hashes_col(tokens).alias("th")
+    ).filter(F.size("th") > 0)
+    docs = docs.select("id", bg_udf("th").alias("bg")).select(
         "id",
-        F.explode(H.lsh_band_hashes_col(F.col("sig"), bands, rows)).alias("bucket"),
+        F.col("bg.bands").alias("bands"),
+        F.col("bg.grams").alias("grams"),
+        F.size("bg.grams").alias("ng"),
     )
+    # referenced 3x (band explode + both verify joins) — persist or the
+    # Python UDF re-evaluates per reference
+    docs = docs.persist()
+    if caches is not None:
+        caches.append(docs)
+    bands_df = docs.select("id", F.explode("bands").alias("bucket"))
     pair_ids = bounded_bucket_pairs(
         bands_df, max_bucket_size=max_bucket_size, caches=caches
     )
-    tokens = H.tokens_col(F.lower(F.col(text_col)))
-    n = shingle_size
-    docs = documents.select(F.col(id_col).alias("id"), tokens.alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-        )
-    )
-    gram_docs = docs.select("id", grams.alias("grams")).persist()
-    if caches is not None:
-        caches.append(gram_docs)
-    pairs = pair_ids.join(
-        gram_docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
-        "id_a",
-    ).join(
-        gram_docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    return (
-        pairs.withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
 
 
 # ---------------------------------------------------------------------------
@@ -488,7 +484,61 @@ def simhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (pure JVM — DuckDB-oracle-parity path)
+# shared exact-Jaccard verify over distinct gram-hash sets
+# ---------------------------------------------------------------------------
+
+def _verified_jaccard_pairs(
+    pair_ids: DataFrame, docs: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs → (id_a, id_b, jaccard ≥ τ), exact.
+
+    ``docs`` carries (id, grams: array<long> DISTINCT gram hashes,
+    ng: |grams| ≥ 1).  Three round-6 verify economies, all
+    value-preserving:
+
+    - size-ratio prefilter: i ≤ min(|A|,|B|) and u ≥ max(|A|,|B|), so
+      J ≤ min/max — pairs failing min ≥ τ·max can never reach τ and
+      skip the intersect entirely (the dominant verify cost when LSH
+      candidates outnumber survivors 1000:1).  The threshold carries a
+      1e-9 relative slack so double rounding can only ADMIT borderline
+      pairs (the exact filter below still decides them), never drop
+      one.
+    - union by sizes: |A∪B| = |A|+|B|−|A∩B| for distinct-element
+      arrays — no array_union build per pair.
+    - int64 gram hashes instead of gram strings: integer set intersect,
+      and the pair join ships 8 B per gram."""
+    pairs = pair_ids.join(
+        docs.select(
+            F.col("id").alias("id_a"),
+            F.col("grams").alias("grams_a"),
+            F.col("ng").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        docs.select(
+            F.col("id").alias("id_b"),
+            F.col("grams").alias("grams_b"),
+            F.col("ng").alias("nb"),
+        ),
+        "id_b",
+    )
+    ratio_ok = F.least("na", "nb").cast("double") >= (
+        F.lit(min_jaccard) * F.greatest("na", "nb").cast("double") * (1.0 - 1e-9)
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    scored = pairs.filter(ratio_ok).select(
+        "id_a", "id_b", inter.alias("i"), "na", "nb"
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        scored.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (md5 DuckDB-oracle-parity path)
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
@@ -507,62 +557,46 @@ def ngram_jaccard_pairs(
     computed as min(md5(salt || gram)) — md5 so the DuckDB oracle can
     reproduce the exact same buckets (SQL-parity path).  A pair with
     Jaccard J shares ≥1 band with probability 1-(1-J)^num_bands
-    (≥ 0.98 at J = 0.4, num_bands = 8), and the buckets are
-    content-selective — unlike length bucketing, unrelated documents
-    almost never collide, so the block self-join stays near-linear.
-    Similarity is array_intersect/array_union — fully JVM codegen."""
+    (≥ 0.98 at J = 0.4, num_bands = 8).
+
+    Round-6 shape (same output): gram construction + the md5 banding
+    run in ONE Arrow-batched UDF (``make_md5_gram_bands_udf`` — the
+    interpreted per-gram HOF md5 chain measured ~11.5s of the query at
+    sf1.0, hashlib is sub-second for the identical bytes; band buckets
+    byte-identical, so the candidate set is unchanged).  The verify
+    join ships DISTINCT gram md5-prefix int64s instead of gram
+    strings; jaccard = i / (|A| + |B| − i) over them — equal to the
+    string-gram jaccard absent 64-bit md5-prefix collisions (the
+    documented fast-path equivalence standard), with |A|+|B|−i
+    replacing the array_union build and an exact size-ratio prefilter
+    (J ≤ min/max) skipping the intersect for pairs that cannot reach
+    min_jaccard — at sf1.0 the bands produce 8.2M candidates of which
+    2.5k survive, so the prefilter is where the verify time goes."""
     documents = fan_out(documents)  # round 6: see readers.fan_out
     tokens = H.tokens_col(F.lower(F.col(text_col)))
     # empty/whitespace-only docs would all share the '' gram and pair
     # off at jaccard 1.0 — drop them before banding (mirrored in the
-    # DuckDB oracle)
+    # DuckDB oracle; the UDF returns null for them, matching)
     docs = documents.select(F.col(id_col).alias("id"), tokens.alias("toks")).filter(
         F.size("toks") > 0
     )
-    ngrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-        )
+    gb_udf = H.make_md5_gram_bands_udf(n, num_bands)
+    docs = docs.select("id", gb_udf("toks").alias("gb")).select(
+        "id",
+        F.col("gb.grams").alias("grams"),
+        F.size("gb.grams").alias("ng"),
+        F.col("gb.bands").alias("bands"),
     )
-    docs = docs.withColumn("grams", ngrams)
-    bands = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}|"),
-                F.array_min(
-                    F.transform(
-                        F.col("grams"), lambda g, _b=b: F.md5(F.concat(F.lit(f"s{_b}|"), g))
-                    )
-                ),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    exploded = docs.select("id", F.explode(bands).alias("bucket"))
+    # referenced 3x (band explode + both pair joins) — persist or
+    # Catalyst re-evaluates the Python UDF per reference
     docs = docs.persist()
     if caches is not None:
         caches.append(docs)
+    exploded = docs.select("id", F.explode("bands").alias("bucket"))
     pair_ids = bounded_bucket_pairs(
         exploded, max_bucket_size=max_bucket_size, caches=caches
     )
-    pairs = pair_ids.join(
-        docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
-        "id_a",
-    ).join(
-        docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    return (
-        pairs.withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
 
 
 def ngram_jaccard_pairs_fast(
@@ -602,7 +636,10 @@ def ngram_jaccard_pairs_fast(
     ).filter(F.size("th") > 0)
     gb_udf = H.make_gram_bands_udf(n, num_bands)
     docs = docs.select("id", gb_udf("th").alias("gb")).select(
-        "id", F.col("gb.grams").alias("grams"), F.col("gb.bands").alias("bands")
+        "id",
+        F.col("gb.grams").alias("grams"),
+        F.size("gb.grams").alias("ng"),
+        F.col("gb.bands").alias("bands"),
     )
     # the UDF output is referenced 3x (band explode + both pair joins)
     # — persist or Catalyst re-evaluates the Python UDF per reference
@@ -613,23 +650,10 @@ def ngram_jaccard_pairs_fast(
     pair_ids = bounded_bucket_pairs(
         exploded, max_bucket_size=max_bucket_size, caches=caches
     )
-    pairs = pair_ids.join(
-        docs.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")),
-        "id_a",
-    ).join(
-        docs.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")),
-        "id_b",
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    return (
-        pairs.withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # round-6 verify economies (size-ratio prefilter, union-by-sizes):
+    # see _verified_jaccard_pairs — grams here are already distinct
+    # int64 hashes, so jaccard values are unchanged
+    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
 
 
 # ---------------------------------------------------------------------------
@@ -695,14 +719,39 @@ def make_srp_bands_udf(dim: int, planes_per_band: int, n_bands: int):
     return srp_bands_udf
 
 
-def cosine_sim_col(a: F.Column, b: F.Column) -> F.Column:
-    """Cosine similarity over two array<double> columns — pure JVM
-    (aggregate + zip_with), no Python."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+def cosine_sim_col(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+    """Cosine similarity over two array<double> columns — pure JVM, no
+    Python.
+
+    With ``dim`` given (round 6), the fold is UNROLLED into a flat
+    left-associated chain of element_at multiply-adds — whole-stage
+    codegen'd, unlike the interpreted higher-order ``aggregate`` /
+    ``zip_with`` lambdas (measured ~18µs per 64-dim cosine interpreted;
+    the unrolled form is ~an order cheaper).  The chain adds terms in
+    the same index order with the same 0.0 seed, so results are
+    BIT-IDENTICAL to the fold (IEEE-754 addition in identical order) —
+    pinned by the ann_bruteforce/ann_ivf/embedding_near_dup oracle hash
+    matches.  Callers must guarantee arrays have exactly ``dim``
+    elements (element_at past the end yields NULL → NULL cosine).
+    Without ``dim`` the original fold form is used."""
+    if dim is None:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+        return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    dot = F.lit(0.0)
+    sa = F.lit(0.0)
+    sb = F.lit(0.0)
+    for i in range(1, dim + 1):
+        ai = F.element_at(a, i)
+        bi = F.element_at(b, i)
+        dot = dot + ai * bi
+        sa = sa + ai * ai
+        sb = sb + bi * bi
+    na = F.sqrt(sa)
+    nb = F.sqrt(sb)
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
@@ -749,7 +798,7 @@ def embedding_near_duplicates(
         vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
     ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
     return (
-        pairs.withColumn("cosine", cosine_sim_col(F.col("v_a"), F.col("v_b")))
+        pairs.withColumn("cosine", cosine_sim_col(F.col("v_a"), F.col("v_b"), dim=dim))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

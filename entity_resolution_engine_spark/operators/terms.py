@@ -13,9 +13,10 @@ salient terms (topic tagging, quality heuristics).  Two operators:
   (no global sort materialization).
 - **tfidf_top_terms** — per-document top-k terms by smoothed TF-IDF
   (idf = ln((N+1)/(df+1)) + 1, the scikit-style smooth form).  The
-  idf map is |vocabulary|-sized → broadcast back onto the per-doc
-  term counts; ranking is a per-doc window (row_number, score desc
-  then token asc for determinism).
+  idf map is |vocabulary|-sized and joins back onto the per-doc term
+  counts UNHINTED — AQE broadcasts it only when actually small
+  (vocabulary is unbounded over web text); ranking is a per-doc
+  window (row_number, score desc then token asc for determinism).
 
 Reference parity: no term-stats surface in the reference (sports ER);
 graft-extension family alongside textstats.py (which holds the
@@ -91,7 +92,13 @@ def tfidf_top_terms(
             ).alias("idf"),
         )
     )
-    scored = per_doc.join(F.broadcast(idf), "token").withColumn(
+    # UNHINTED join (round 6, VERDICT r5 item 1): the idf map is
+    # |vocabulary|-sized — unbounded over web corpora (10⁹+ distinct
+    # tokens), so a forced F.broadcast is an executor-OOM scale-killer.
+    # per_doc is already keyed by token; left unhinted, AQE broadcasts
+    # when the vocabulary is actually small and shuffle-joins otherwise
+    # — the same rationale written at decontam.py's join-back.
+    scored = per_doc.join(idf, "token").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
     )
     w = Window.partitionBy("doc_id").orderBy(
