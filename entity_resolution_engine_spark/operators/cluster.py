@@ -68,6 +68,11 @@ def large_star(edges: DataFrame) -> DataFrame:
     sym = _symmetrize(edges)
     w = Window.partitionBy("src")
     m = F.least(F.min("dst").over(w), F.col("src"))
+    # the distinct is LOAD-BEARING for dense components (round-6
+    # measurement): on a k-clique every member emits its (v, root) row
+    # once per smaller neighbor — k²/2 rows that the following
+    # small_star window would otherwise sort; dropping this dedup
+    # tripled the CC loop on the sf1.0 edge set (6.4s → 22s)
     return (
         sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))

@@ -73,6 +73,7 @@ def bounded_bucket_pairs(
     stats_out: list | None = None,
     count_matches: bool = False,
     caches: list | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """(bucket, id) membership → deduped candidate (id_a < id_b) pairs,
     with hot buckets split into bounded sub-buckets.
@@ -175,6 +176,15 @@ def bounded_bucket_pairs(
             counted.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
         ).withColumn("n_buckets", F.lit(None).cast("int"))
         return counted.unionByName(rep_only)
+    if not dedup_pairs:
+        # round 6: callers that verify-filter the candidates down by
+        # orders of magnitude (the ngram paths: 8.2M candidates → 2.5k
+        # survivors at sf1.0) skip the full-width pair-dedup exchange
+        # here and dedup AFTER their filter instead — a pair surfacing
+        # from k shared buckets costs k cheap verify evaluations in
+        # place of one corpus-scale (id_a, id_b) shuffle.  Callers MUST
+        # dedup downstream; k is bounded by the band count.
+        return raw.unionByName(rep_pairs)
     return raw.unionByName(rep_pairs).dropDuplicates(["id_a", "id_b"])
 
 
@@ -488,7 +498,10 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 def _verified_jaccard_pairs(
-    pair_ids: DataFrame, docs: DataFrame, min_jaccard: float
+    pair_ids: DataFrame,
+    docs: DataFrame,
+    min_jaccard: float,
+    dedup_out: bool = False,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs → (id_a, id_b, jaccard ≥ τ), exact.
 
@@ -530,11 +543,19 @@ def _verified_jaccard_pairs(
         "id_a", "id_b", inter.alias("i"), "na", "nb"
     )
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
+    out = (
         scored.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+    if dedup_out:
+        # partner of bounded_bucket_pairs(dedup_pairs=False): the
+        # candidate stream carries one row per shared bucket, and
+        # jaccard is a pure function of the pair, so deduping the
+        # (tiny) SURVIVOR set here yields exactly the pair-deduped
+        # result at a fraction of the shuffle width
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -592,11 +613,27 @@ def ngram_jaccard_pairs(
     docs = docs.persist()
     if caches is not None:
         caches.append(docs)
-    exploded = docs.select("id", F.explode("bands").alias("bucket"))
-    pair_ids = bounded_bucket_pairs(
-        exploded, max_bucket_size=max_bucket_size, caches=caches
+    # bucket byte diet: the band STRING ("b|<32 hex>", ~35 B) only needs
+    # its equality classes for the self-join — xxhash64 folds it to an
+    # 8 B long (a 2^-64 bucket-string collision merely merges two
+    # buckets' candidate lists, which the exact verify then filters; an
+    # output change additionally needs the spurious pair to clear the
+    # jaccard threshold — the same negligible-collision standard as the
+    # gram hashes).  Pair dedup is deferred past the verify filter
+    # (dedup_pairs=False / dedup_out=True): candidates outnumber
+    # survivors ~3000:1 here, so the wide (id_a, id_b) exchange moves
+    # to the 2.5k-row survivor set.
+    exploded = docs.select(
+        "id",
+        F.explode(
+            F.transform("bands", lambda b: F.xxhash64(b))
+        ).alias("bucket"),
     )
-    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
+    pair_ids = bounded_bucket_pairs(
+        exploded, max_bucket_size=max_bucket_size, caches=caches,
+        dedup_pairs=False,
+    )
+    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard, dedup_out=True)
 
 
 def ngram_jaccard_pairs_fast(
@@ -647,13 +684,15 @@ def ngram_jaccard_pairs_fast(
     if caches is not None:
         caches.append(docs)
     exploded = docs.select("id", F.explode("bands").alias("bucket"))
+    # round-6 verify economies (size-ratio prefilter, union-by-sizes,
+    # deferred pair dedup past the verify filter): see
+    # _verified_jaccard_pairs — grams here are already distinct int64
+    # hashes, so jaccard values are unchanged
     pair_ids = bounded_bucket_pairs(
-        exploded, max_bucket_size=max_bucket_size, caches=caches
+        exploded, max_bucket_size=max_bucket_size, caches=caches,
+        dedup_pairs=False,
     )
-    # round-6 verify economies (size-ratio prefilter, union-by-sizes):
-    # see _verified_jaccard_pairs — grams here are already distinct
-    # int64 hashes, so jaccard values are unchanged
-    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
+    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard, dedup_out=True)
 
 
 # ---------------------------------------------------------------------------
