@@ -170,9 +170,13 @@ def exact_dedup_against(
     def text_key(col: str) -> Column:
         return F.md5(F.lower(F.trim(F.col(col))))
 
-    ref_keys = reference.select(text_key(ref_text).alias("text_key")).distinct()
+    # collision-proof internal key column (ADVICE r5): withColumn on a
+    # plain "text_key" would silently overwrite (then drop) a caller's
+    # column of that name, breaking the keep-the-corpus-schema contract
+    key_col = "__edda_text_key"
+    ref_keys = reference.select(text_key(ref_text).alias(key_col)).distinct()
     return (
-        corpus.withColumn("text_key", text_key(text_col))
-        .join(ref_keys, "text_key", "left_anti")
-        .drop("text_key")
+        corpus.withColumn(key_col, text_key(text_col))
+        .join(ref_keys, key_col, "left_anti")
+        .drop(key_col)
     )

@@ -14,7 +14,7 @@ Reference analog: cli/run_mapping.py:37-188's match→route→merge sweep
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
@@ -73,7 +73,11 @@ def resolve_documents(
     # those caches are safe to release here
     for c in caches:
         c.unpersist()
-    sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    return assignments.join(sizes, "cluster_id").select(
-        "url", "cluster_id", "n_members"
+    # cluster sizes as a window count (round 6): the groupBy+join form
+    # paid two exchanges plus a join for the same value; the window
+    # pays one hash exchange on cluster_id (guide §2.4 — same-key agg
+    # and attach share one partitioning)
+    w = Window.partitionBy("cluster_id")
+    return assignments.select(
+        "url", "cluster_id", F.count("*").over(w).alias("n_members")
     )
