@@ -73,18 +73,28 @@ def q_threshold_filter(spark, sf):
 
 
 def q_argmax_best_match(spark, sf):
-    # W1/J1: per-left-row argmax with deterministic first-wins tie-break
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    # W1/J1: per-left-row argmax with deterministic first-wins tie-break.
+    # Round 6 (guide §2.3): expressed as max(struct(price, -orderkey))
+    # — struct ordering compares price first, then -orderkey, so the
+    # winner is EXACTLY the window row_number()=1 row of
+    # (price desc, orderkey asc) — but the aggregate partially combines
+    # map-side, shipping one row per customer (~100k) instead of the
+    # full 1.5M-row table into a per-key sort.  Values identical
+    # (oracle hash match unchanged).
+    m = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            (-F.col("o_orderkey")).alias("n"),
+        )
     )
     return (
         _t(spark, sf, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("o_custkey")
+        .agg(m.alias("m"))
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("best_orderkey"),
-            F.col("o_totalprice").alias("best_price"),
+            (-F.col("m.n")).alias("best_orderkey"),
+            F.col("m.p").alias("best_price"),
         )
     )
 
