@@ -51,8 +51,13 @@ def resolve_documents(
     pages = documents_as_pages(documents)
     normalized = normalize_pages(pages)
     # tiny corpora (sf0.001) still need the UDF-bearing plan to be
-    # evaluated twice (blocking + scoring) — cache the normalized side
-    normalized = normalized.cache()
+    # evaluated twice (blocking + scoring) — cache the normalized side.
+    # canonical_text is dropped BEFORE the cache (round 6): no stage of
+    # the resolve (blocking keys, scoring match keys, CC urls) reads
+    # it, and it is the widest column in the frame — the projection
+    # halves the cache-fill bytes while norm_text is still computed
+    # from it inside the one fused ArrowEvalPython pass
+    normalized = normalized.drop("canonical_text").cache()
     # NOTE: normalized itself stays cached — the returned assignments
     # still reference it lazily (the all_nodes singleton branch)
     caches: list = []
