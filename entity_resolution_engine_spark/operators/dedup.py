@@ -353,13 +353,56 @@ def minhash_verified_near_duplicates(
     int64 shingle hashes and applies the _verified_jaccard_pairs
     economies (size-ratio prefilter, union-by-sizes); hashed-shingle
     jaccard equals string-shingle jaccard absent 64-bit fold
-    collisions."""
+    collisions.
+
+    Champion-per-distinct-text factoring (round 6, exact-duplicate-
+    heavy corpora — the common-crawl mirror shape the planted bench
+    corpus models): docs sharing ``lower(text)`` have IDENTICAL gram
+    sets and band arrays, so one champion per distinct text carries the
+    group through the UDF, the band self-join, and the verify, and the
+    group's members re-expand afterwards — intra-group pairs at exact
+    jaccard 1.0 (i = |A| = |B| ⇒ 1.0, the same double the verify
+    computes), cross-group pairs inherit the champion pair's jaccard
+    (identical gram sets ⇒ identical value).  On a 50%-clone corpus
+    this halves UDF and membership volume and collapses the 2×2
+    candidate variants per cross pair to one.  Because equal texts have
+    equal band ARRAYS, the expanded output is exactly the per-doc
+    banding's output whenever no group is large enough to trip the
+    hot-bucket splitter; the expansion therefore only runs when
+    max group size ≤ max_bucket_size/2 (driver-checked on the tiny
+    group ledger) — oversized-clone corpora keep the per-doc banding
+    whose bounded-bucket star semantics are the documented cap."""
     documents = fan_out(documents)  # round 6: see readers.fan_out
-    tokens = H.tokens_col(F.lower(F.col(text_col)))
     bg_udf = H.make_minhash_band_gram_udf(num_hashes, bands, shingle_size)
-    docs = documents.select(
-        F.col(id_col).alias("id"), H.token_hashes_col(tokens).alias("th")
-    ).filter(F.size("th") > 0)
+
+    d0 = documents.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("lt")
+    )
+    groups = (
+        d0.groupBy(F.md5("lt").alias("gk"))
+        .agg(
+            F.min("id").alias("cid"),
+            F.first("lt").alias("lt"),  # identical within the group
+            F.array_sort(F.collect_list("id")).alias("ids"),
+            F.count("*").alias("gsz"),
+        )
+        .persist()
+    )
+    if caches is not None:
+        caches.append(groups)
+    gmax = groups.agg(F.max("gsz")).collect()[0][0] or 0
+
+    if gmax > max_bucket_size // 2:
+        # clone groups big enough to interact with the hot-bucket
+        # splitter: keep per-doc banding (bounded-bucket semantics)
+        side = d0
+    else:
+        side = groups.select(F.col("cid").alias("id"), "lt")
+
+    tokens = H.tokens_col(F.col("lt"))
+    docs = side.select("id", H.token_hashes_col(tokens).alias("th")).filter(
+        F.size("th") > 0
+    )
     docs = docs.select("id", bg_udf("th").alias("bg")).select(
         "id",
         F.col("bg.bands").alias("bands"),
@@ -375,7 +418,53 @@ def minhash_verified_near_duplicates(
     pair_ids = bounded_bucket_pairs(
         bands_df, max_bucket_size=max_bucket_size, caches=caches
     )
-    return _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
+    verified = _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
+    if gmax > max_bucket_size // 2:
+        return verified
+
+    # --- expand champion-level pairs back to member pairs ---------------
+    # non-empty groups: those whose champion survived the th filter
+    gne = groups.join(
+        docs.select(F.col("id").alias("cid")), "cid"
+    )
+    # intra-group: all (i < j) member pairs at exact jaccard 1.0; ids
+    # are sorted, so slicing after each position keeps id_a < id_b —
+    # a narrow array expression, no join
+    pairs_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    intra = (
+        gne.filter(F.col("gsz") > 1)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-group: each champion pair expands over both member lists;
+    # member ids interleave across groups, so re-orient with
+    # least/greatest (groups are disjoint — no x == y)
+    ga = groups.select(F.col("cid").alias("id_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("cid").alias("id_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        verified.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("ids_a").alias("xa"), "ids_b", "jaccard")
+        .select("xa", F.explode("ids_b").alias("xb"), "jaccard")
+        .select(
+            F.least("xa", "xb").alias("id_a"),
+            F.greatest("xa", "xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------
