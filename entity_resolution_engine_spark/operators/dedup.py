@@ -320,6 +320,7 @@ def minhash_verified_near_duplicates(
     text_col: str = "text",
     max_bucket_size: int = 2000,
     caches: list | None = None,
+    champion_expansion: bool | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-duplicate pairs with EXACT shingle
     Jaccard: MinHash-LSH generates the candidates (ids only through the
@@ -371,7 +372,9 @@ def minhash_verified_near_duplicates(
     hot-bucket splitter; the expansion therefore only runs when
     max group size ≤ max_bucket_size/2 (driver-checked on the tiny
     group ledger) — oversized-clone corpora keep the per-doc banding
-    whose bounded-bucket star semantics are the documented cap."""
+    whose bounded-bucket star semantics are the documented cap.
+    ``champion_expansion`` overrides the gate (True/False) — test hook
+    pinning branch equality (tests/test_dedup.py)."""
     documents = fan_out(documents)  # round 6: see readers.fan_out
     bg_udf = H.make_minhash_band_gram_udf(num_hashes, bands, shingle_size)
 
@@ -390,9 +393,11 @@ def minhash_verified_near_duplicates(
     )
     if caches is not None:
         caches.append(groups)
-    gmax = groups.agg(F.max("gsz")).collect()[0][0] or 0
+    if champion_expansion is None:
+        gmax = groups.agg(F.max("gsz")).collect()[0][0] or 0
+        champion_expansion = gmax <= max_bucket_size // 2
 
-    if gmax > max_bucket_size // 2:
+    if not champion_expansion:
         # clone groups big enough to interact with the hot-bucket
         # splitter: keep per-doc banding (bounded-bucket semantics)
         side = d0
@@ -419,7 +424,7 @@ def minhash_verified_near_duplicates(
         bands_df, max_bucket_size=max_bucket_size, caches=caches
     )
     verified = _verified_jaccard_pairs(pair_ids, docs, min_jaccard)
-    if gmax > max_bucket_size // 2:
+    if not champion_expansion:
         return verified
 
     # --- expand champion-level pairs back to member pairs ---------------

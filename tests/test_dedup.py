@@ -170,6 +170,44 @@ def test_minhash_verified_exact_jaccard(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_verified_champion_expansion_matches_legacy(spark):
+    """Round-6 champion factoring: the expansion branch (one champion
+    per distinct lower(text), member pairs re-expanded) must emit
+    exactly the per-doc-banding branch's pairs, compared pair-for-pair
+    and value-for-value via the champion_expansion override (both
+    branches at the same max_bucket_size, so the hot-bucket splitter
+    is engaged for neither)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near = base.replace("theta", "sigma")
+    rows = [
+        (1, base), (2, base), (7, base),        # 3-clone group
+        (3, near), (9, near),                    # 2-clone near group
+        (4, "unrelated words about parquet row groups and shuffle io"),
+        (5, "   "),                              # empty-token doc: excluded
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(shingle_size=2, num_hashes=128, bands=32, min_jaccard=0.5)
+    expanded = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.minhash_verified_near_duplicates(docs, **kw).collect()
+    }
+    legacy = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.minhash_verified_near_duplicates(
+            docs, champion_expansion=False, **kw
+        ).collect()
+    }
+    assert expanded == legacy
+    # intra-group clones at exact 1.0, full cross-product across the
+    # two near groups, empty doc absent
+    assert expanded[(1, 2)] == 1.0 and expanded[(1, 7)] == 1.0
+    assert expanded[(2, 7)] == 1.0 and expanded[(3, 9)] == 1.0
+    cross = {(1, 3), (1, 9), (2, 3), (2, 9), (3, 7), (7, 9)}
+    assert cross <= set(expanded)
+    assert len({expanded[p] for p in cross}) == 1  # inherited value
+    assert not any(5 in p for p in expanded)
+
+
 def test_dedup_cache_ledgers_release_storage(spark, docs):
     """Every standalone dedup/LSH op threads a `caches` ledger; after
     materialize + unpersist nothing lingers in executor storage
